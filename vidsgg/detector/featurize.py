@@ -1,0 +1,81 @@
+"""Device-side entry featurization (predcls / sgcls back half).
+
+Replicates tools/utils/object_detector.py:346-398 as one jit-able function:
+
+* scale GT boxes to network resolution and ROIAlign them over the base
+  feature maps (:362-367), then run the R-CNN head to 2048-d features;
+* build per-pair union boxes (min of top-lefts, max of bottom-rights,
+  :372-373), ROIAlign them to [P, 7, 7, 1024];
+* rasterize the 2x27x27 pair spatial masks on device (replacing the
+  reference's Cython CPU round trip at :379-380), centered by -0.5.
+
+Everything is computed on padded buffers; masked rows produce zeros.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from vidsgg import constants as C
+from vidsgg.data.entry import Entry
+from vidsgg.ops import draw_union_masks, roi_align
+
+
+def pair_union_features(
+    entry: Entry, fmaps: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(union_feat [P,7,7,Cf], union_boxes [P,5], spatial_masks [P,2,S,S]).
+
+    ``entry.boxes`` are expected in original-image scale; union ROIAlign uses
+    network scale (boxes * im_scale), masks use original scale — matching the
+    reference's scale/unscale dance (object_detector.py:372-380).
+    """
+    pair = entry.pair_idx
+    b = entry.boxes[:, 1:]
+    sub = b[pair[:, 0]]
+    obj = b[pair[:, 1]]
+    union = jnp.concatenate(
+        [jnp.minimum(sub[:, 0:2], obj[:, 0:2]), jnp.maximum(sub[:, 2:4], obj[:, 2:4])],
+        axis=1,
+    )
+    union_boxes = jnp.concatenate(
+        [entry.im_idx[:, None].astype(jnp.float32), union * entry.im_scale], axis=1
+    )
+    union_feat = roi_align(
+        fmaps, union_boxes, out_size=C.ROI_ALIGN_OUT, spatial_scale=C.ROI_ALIGN_SCALE
+    )
+    pair_rois = jnp.concatenate([sub, obj], axis=1)
+    spatial_masks = draw_union_masks(pair_rois, C.SPATIAL_MASK_SIZE) - 0.5
+
+    pm = entry.pair_mask
+    union_feat = union_feat * pm[:, None, None, None]
+    spatial_masks = spatial_masks * pm[:, None, None, None]
+    return union_feat, union_boxes, spatial_masks
+
+
+def featurize_gt_entry(
+    entry: Entry,
+    fmaps: jnp.ndarray,
+    head_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> Entry:
+    """Fill features / union_feat / spatial_masks of a GT-box entry.
+
+    Args:
+      entry: skeleton from :func:`vidsgg.data.build_gt_entry`, boxes in
+        original-image scale.
+      fmaps: [F, H, W, 1024] base feature maps (NHWC) at network resolution.
+      head_fn: maps [N, 7, 7, 1024] pooled features -> [N, 2048]
+        (the R-CNN ``_head_to_tail``; injectable so tests and the
+        cached-feature bring-up path need no detector weights).
+    """
+    scaled = entry.boxes.at[:, 1:].multiply(entry.im_scale)
+    pooled = roi_align(
+        fmaps, scaled, out_size=C.ROI_ALIGN_OUT, spatial_scale=C.ROI_ALIGN_SCALE
+    )
+    feats = head_fn(pooled) * entry.obj_mask[:, None]
+    union_feat, _, spatial_masks = pair_union_features(entry, fmaps)
+    return entry.replace(
+        features=feats, union_feat=union_feat, spatial_masks=spatial_masks
+    )
