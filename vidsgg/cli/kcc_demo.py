@@ -1,0 +1,97 @@
+"""KCC demo CLI — scene-graph inference on arbitrary user videos.
+
+The reference's deploy/serve surface (KCC_TEMPURA.py / KCC_TEATGT.py):
+ffmpeg-extracted frames -> sgdet detection -> relation model -> per-frame
+triplet JSON (visualize.py:135-174).
+
+Usage:
+  python -m vidsgg.cli.kcc_demo --data_path kcc_demo/ --out predictions.json \
+      [--model tempura|teatgt] [--ckpt DIR] [--detector faster_rcnn_ag.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.data.kcc import KCCDataset
+from vidsgg.detector.faster_rcnn import FasterRCNN
+from vidsgg.detector.rpn import RPNConfig
+from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+from vidsgg.eval.adapter import to_eval_pred
+from vidsgg.models.tempura import Tempura, TempuraConfig
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.checkpoint import restore_checkpoint
+from vidsgg.train.eval_pipeline import EvalPipeline
+from vidsgg.utils.visualize import dump_kcc_predictions, kcc_prediction_json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", default="kcc_demo/")
+    p.add_argument("--out", default="output/kcc_predictions.json")
+    p.add_argument("--model", default="tempura", choices=["tempura", "teatgt"])
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--detector", default=None, help="faster_rcnn_ag.pth path")
+    p.add_argument("--max_frames", type=int, default=32)
+    args = p.parse_args(argv)
+
+    ds = KCCDataset(args.data_path)
+    if len(ds) == 0:
+        raise SystemExit(f"no videos under {args.data_path}/dataset/<name>/frame/")
+    print(f"KCC demo: {len(ds)} videos")
+
+    det = FasterRCNN(rpn_cfg=RPNConfig(pre_nms_top_n=2000, post_nms_top_n=128))
+    if args.detector:
+        from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+        det_vars = load_faster_rcnn_checkpoint(args.detector)
+    else:
+        det_vars = jax.jit(det.init)(
+            jax.random.PRNGKey(0), jnp.zeros((4, 608, 1008, 3)),
+            jnp.array([608.0, 1008.0]),
+        )
+        print("WARNING: random detector weights (no --detector given)")
+
+    cap = EntryCapacity(max_frames=args.max_frames, max_objs=128, max_pairs=128)
+    frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=10), cap)
+
+    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
+    model = Tempura(cfg)
+    pipeline = EvalPipeline("sgdet", cap)
+
+    all_preds = {}
+    state = None
+    for vi in range(len(ds)):
+        frames, scale, name = ds.load_video_frames(vi)
+        frames = frames[: args.max_frames]
+        f, h, w, _ = frames.shape
+        h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = np.zeros((f, h16, w16, 3), np.float32)
+        pad[:, :h, :w] = frames
+        entry, fmaps = frontend(
+            jnp.asarray(pad), jnp.array([float(h16), float(w16)]), scale,
+            is_train=False, video_size=(w / scale, h / scale),
+        )
+        if state is None:
+            state = create_train_state(
+                model, cfg, entry, jax.random.PRNGKey(0),
+                make_optimizer(steps_per_epoch=1),
+            )
+            if args.ckpt:
+                state = restore_checkpoint(args.ckpt, state, "best_recall")
+        pred = pipeline(state, entry, jnp.asarray(fmaps))
+        all_preds.update(kcc_prediction_json(name, pred))
+        print(f"  {name}: {f} frames -> "
+              f"{len(pred['im_idx'])} triplet rows")
+
+    dump_kcc_predictions(args.out, all_preds)
+    print(f"predictions written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""TEAT-GT evaluation CLI (the reference's TEATGT_test.py; the 10-video
+truncation there is opt-in here via --max_videos)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from vidsgg.configs.teatgt import TeatGTRunConfig
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.eval import get_ag_evaluators
+from vidsgg.eval.adapter import to_eval_pred
+from vidsgg.eval.temporal import (
+    evaluate_temporal_consistency,
+    temporal_consistency_summary,
+)
+from vidsgg.models.graph_build import ClipCaps
+from vidsgg.models.teatgt import TeatGT
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.checkpoint import restore_checkpoint
+
+
+class _MemCfg:
+    tracking = False
+    num_classes = 37
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic, max_videos, ckpt = 0, None, None
+    for flag, cast in (("--synthetic", int), ("--max_videos", int), ("--ckpt", str)):
+        if flag in argv:
+            i = argv.index(flag)
+            val = cast(argv[i + 1])
+            del argv[i : i + 2]
+            if flag == "--synthetic":
+                synthetic = val
+            elif flag == "--max_videos":
+                max_videos = val
+            else:
+                ckpt = val
+    cfg = TeatGTRunConfig.from_args(argv)
+    print(f">>> TEAT-GT test: mode={cfg.mode}")
+
+    cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
+    clips = ClipCaps(clip_size=5, n_clips=4, tokens_per_clip=32,
+                     edges_per_clip=160, tokens_per_frame=8)
+    if synthetic:
+        from vidsgg.cli.data_source import make_synthetic_source
+
+        src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
+    else:
+        raise SystemExit("AG evaluation requires the dataset; use --synthetic N here")
+
+    model = TeatGT(cfg.model_config(clips))
+    entry0, _, _ = next(iter(src()))
+    state = create_train_state(model, _MemCfg(), entry0, jax.random.PRNGKey(0),
+                               make_optimizer(steps_per_epoch=1))
+    if ckpt:
+        state = restore_checkpoint(ckpt, state, "best_recall")
+
+    fwd = jax.jit(
+        lambda s, e: s.apply_fn(
+            {"params": s.params, "batch_stats": s.batch_stats}, e, phase="test"
+        )
+    )
+    evs = get_ag_evaluators(cfg.mode)
+    tc_s, tc_c = [], []
+    t0, n = time.time(), 0
+    for entry, fmaps, gt in src():
+        if max_videos is not None and n >= max_videos:
+            break
+        out = fwd(state, entry)
+        pred = to_eval_pred(entry, out, cfg.mode)
+        for ev in evs:
+            ev.evaluate_scene_graph(gt, pred)
+        if cfg.mode != "sgdet":
+            s, c = evaluate_temporal_consistency(pred, cfg.mode)
+            if s is not None:
+                tc_s.extend(s)
+                tc_c.extend(c)
+        n += 1
+    print(f"evaluated {n} videos in {time.time() - t0:.1f}s")
+    for name, ev in zip(("with", "semi", "no"), evs):
+        ev.print_stats(metric=name)
+    if tc_s:
+        tc = temporal_consistency_summary(np.array(tc_s), np.array(tc_c))
+        print(
+            f"Temporal Consistency: spatial={tc['spatial']:.4f} "
+            f"contacting={tc['contacting']:.4f} combined={tc['combined']:.4f}"
+        )
+    return evs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""TEAT-GT training CLI (the reference's TEATGT_train.py).
+
+Example:
+  python -m vidsgg.cli.teatgt_train --mode predcls --synthetic 16 --nepoch 1 \
+      --use_cons_str_loss --use_cons_sem_loss
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from vidsgg.configs.teatgt import TeatGTRunConfig
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.models.graph_build import ClipCaps
+from vidsgg.models.teatgt import TeatGT
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.loop import TrainLoopConfig, run_training
+from vidsgg.train.metrics import MetricsWriter
+
+
+class _MemCfg:
+    tracking = False
+    num_classes = 37
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic = 0
+    if "--synthetic" in argv:
+        i = argv.index("--synthetic")
+        synthetic = int(argv[i + 1])
+        del argv[i : i + 2]
+    cfg = TeatGTRunConfig.from_args(argv)
+    print(f">>> TEAT-GT train: mode={cfg.mode} synthetic={synthetic or 'off'}")
+
+    cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
+    clips = ClipCaps(clip_size=5, n_clips=4, tokens_per_clip=32,
+                     edges_per_clip=160, tokens_per_frame=8)
+    if synthetic:
+        from vidsgg.cli.data_source import make_synthetic_source
+
+        train_src = make_synthetic_source(synthetic, cap, seed=cfg.seed)
+        val_src = make_synthetic_source(max(4, synthetic // 4), cap,
+                                        seed=cfg.seed + 1, shuffle=False)
+        steps_per_epoch = synthetic
+    else:
+        from vidsgg.cli.data_source import make_ag_source
+        from vidsgg.data.action_genome import ActionGenome
+        from vidsgg.detector.faster_rcnn import FasterRCNN
+        import jax.numpy as jnp
+
+        train_ds = ActionGenome("train", cfg.datasize, cfg.data_path,
+                                filter_small_box=cfg.mode != "predcls")
+        test_ds = ActionGenome("test", cfg.datasize, cfg.data_path,
+                               filter_small_box=cfg.mode != "predcls")
+        det = FasterRCNN()
+        det_vars = jax.jit(det.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
+            jnp.array([608.0, 1008.0]),
+        )
+        train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
+        val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+        steps_per_epoch = len(train_ds)
+
+    model_cfg = cfg.model_config(clips)
+    model = TeatGT(model_cfg)
+    tx = make_optimizer(base_lr=cfg.lr, warmup_period=cfg.warmup,
+                        steps_per_epoch=steps_per_epoch)
+    entry0, _, _ = next(iter(train_src()))
+    state = create_train_state(model, _MemCfg(), entry0,
+                               jax.random.PRNGKey(cfg.seed), tx)
+    writer = MetricsWriter(cfg.save_path)
+    loop_cfg = TrainLoopConfig(
+        mode=cfg.mode, nepoch=cfg.nepoch, log_iter=cfg.log_iter,
+        save_path=cfg.save_path, mem_enabled=False,
+    )
+    state = run_training(
+        state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
+        jax.random.PRNGKey(cfg.seed + 1),
+    )
+    writer.close()
+    print(">>> TEAT-GT train complete")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""TEMPURA evaluation CLI (the reference's TEMPURA_test.py).
+
+Runs the test split through the mode-aware EvalPipeline and prints the full
+R@K/mR@K grid under the three constraint regimes plus the temporal-
+consistency score. NOTE: the reference test scripts truncate after 10
+videos (``if b >= 10: break``, TEMPURA_test.py:72) — full-split evaluation
+here is the default; pass --max_videos 10 to reproduce the truncation.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from vidsgg.configs.tempura import TempuraRunConfig
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.eval import get_ag_evaluators
+from vidsgg.eval.temporal import (
+    evaluate_temporal_consistency,
+    temporal_consistency_summary,
+)
+from vidsgg.models.tempura import Tempura
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.checkpoint import restore_checkpoint
+from vidsgg.train.eval_pipeline import EvalPipeline
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic, max_videos, ckpt = 0, None, None
+    for flag, cast in (("--synthetic", int), ("--max_videos", int), ("--ckpt", str)):
+        if flag in argv:
+            i = argv.index(flag)
+            val = cast(argv[i + 1])
+            del argv[i : i + 2]
+            if flag == "--synthetic":
+                synthetic = val
+            elif flag == "--max_videos":
+                max_videos = val
+            else:
+                ckpt = val
+    cfg = TempuraRunConfig.from_args(argv)
+    print(f">>> TEMPURA test: mode={cfg.mode}")
+
+    cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
+    if synthetic:
+        from vidsgg.cli.data_source import make_synthetic_source
+
+        src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
+    else:
+        from vidsgg.cli.data_source import make_ag_source
+        from vidsgg.data.action_genome import ActionGenome
+        from vidsgg.detector.faster_rcnn import FasterRCNN
+
+        ds = ActionGenome("test", cfg.datasize, cfg.data_path,
+                          filter_small_box=cfg.mode != "predcls")
+        det = FasterRCNN()
+        if cfg.model_path:
+            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
+        else:
+            import jax.numpy as jnp
+
+            det_vars = jax.jit(det.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
+                jnp.array([608.0, 1008.0]),
+            )
+        src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
+                             max_videos=max_videos)
+
+    model_cfg = cfg.model_config()
+    model = Tempura(model_cfg)
+    entry0, _, _ = next(iter(src()))
+    state = create_train_state(
+        model, model_cfg, entry0, jax.random.PRNGKey(0),
+        make_optimizer(steps_per_epoch=1),
+    )
+    if ckpt:
+        state = restore_checkpoint(ckpt, state, "best_recall")
+        print(f"restored checkpoint from {ckpt} (incl. memory banks)")
+
+    pipeline = EvalPipeline(cfg.mode, cap)
+    evs = get_ag_evaluators(cfg.mode, output_dir=None)
+    tc_s, tc_c = [], []
+    t0 = time.time()
+    n = 0
+    for entry, fmaps, gt in src():
+        if max_videos is not None and n >= max_videos:
+            break
+        pred = pipeline(state, entry, fmaps, gt_entry=entry)
+        for ev in evs:
+            ev.evaluate_scene_graph(gt, pred)
+        if cfg.mode != "sgdet":
+            s, c = evaluate_temporal_consistency(pred, cfg.mode)
+            if s is not None:
+                tc_s.extend(s)
+                tc_c.extend(c)
+        n += 1
+    dt = time.time() - t0
+    print(f"evaluated {n} videos in {dt:.1f}s")
+    for name, ev in zip(("with", "semi", "no"), evs):
+        ev.print_stats(metric=name)
+    if tc_s:
+        tc = temporal_consistency_summary(np.array(tc_s), np.array(tc_c))
+        print(
+            f"Temporal Consistency: spatial={tc['spatial']:.4f} "
+            f"contacting={tc['contacting']:.4f} combined={tc['combined']:.4f}"
+        )
+    return evs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""TEMPURA training CLI (the reference's TEMPURA_train.py).
+
+Usage mirrors the reference flags (tempura_config.py), plus:
+  --synthetic N   train on N synthetic videos (no dataset/detector needed)
+
+Example:
+  python -m vidsgg.cli.tempura_train --mode predcls --synthetic 32 --nepoch 2
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from vidsgg.configs.tempura import TempuraRunConfig
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.models.tempura import Tempura
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.loop import TrainLoopConfig, run_training
+from vidsgg.train.metrics import MetricsWriter
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic = 0
+    if "--synthetic" in argv:
+        i = argv.index("--synthetic")
+        synthetic = int(argv[i + 1])
+        del argv[i : i + 2]
+    cfg = TempuraRunConfig.from_args(argv)
+    print(f">>> TEMPURA train: mode={cfg.mode} synthetic={synthetic or 'off'}")
+
+    cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
+    if synthetic:
+        from vidsgg.cli.data_source import make_synthetic_source
+
+        train_src = make_synthetic_source(synthetic, cap, seed=cfg.seed)
+        val_src = make_synthetic_source(max(4, synthetic // 4), cap, seed=cfg.seed + 1,
+                                        shuffle=False)
+        steps_per_epoch = synthetic
+    else:
+        from vidsgg.cli.data_source import make_ag_source
+        from vidsgg.data.action_genome import ActionGenome
+        from vidsgg.detector.faster_rcnn import FasterRCNN
+
+        train_ds = ActionGenome(
+            "train", cfg.datasize, cfg.data_path,
+            filter_small_box=cfg.mode != "predcls",
+        )
+        test_ds = ActionGenome(
+            "test", cfg.datasize, cfg.data_path,
+            filter_small_box=cfg.mode != "predcls",
+        )
+        det = FasterRCNN()
+        if cfg.model_path:
+            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
+        else:
+            det_vars = jax.jit(det.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
+                jnp.array([608.0, 1008.0]),
+            )
+            print("WARNING: no detector checkpoint; random detector weights")
+        train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
+        val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+        steps_per_epoch = len(train_ds)
+
+    model_cfg = cfg.model_config()
+    model = Tempura(model_cfg)
+    tx = make_optimizer(
+        base_lr=cfg.lr, warmup_period=cfg.warmup, steps_per_epoch=steps_per_epoch
+    )
+    entry0, _, _ = next(iter(train_src()))
+    state = create_train_state(
+        model, model_cfg, entry0, jax.random.PRNGKey(cfg.seed), tx
+    )
+    writer = MetricsWriter(cfg.save_path)
+    loop_cfg = TrainLoopConfig(
+        mode=cfg.mode,
+        nepoch=cfg.nepoch,
+        log_iter=cfg.log_iter,
+        save_path=cfg.save_path,
+        rel_mem_weight_type=cfg.rel_mem_weight_type,
+        obj_mem_weight_type=cfg.obj_mem_weight_type,
+        obj_mem_compute=cfg.obj_mem_compute,
+        mem_enabled=cfg.rel_mem_compute is not None,
+    )
+    state = run_training(
+        state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
+        jax.random.PRNGKey(cfg.seed + 1), model_cfg=model_cfg,
+    )
+    writer.close()
+    print(">>> TEMPURA train complete")
+    return state
+
+
+if __name__ == "__main__":
+    main()

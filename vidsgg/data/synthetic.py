@@ -44,7 +44,9 @@ def synthetic_video_annotation(
         ]
         for o in range(objs_per_frame):
             x, y = rng.randint(0, 3 * w // 4), rng.randint(0, 3 * h // 4)
-            bw, bh = rng.randint(20, w // 4), rng.randint(20, h // 4)
+            lo_w, lo_h = max(4, min(20, w // 8)), max(4, min(20, h // 8))
+            bw = rng.randint(lo_w, max(w // 4, lo_w + 1))
+            bh = rng.randint(lo_h, max(h // 4, lo_h + 1))
             if stable:
                 cls = int(stable_cls[o])
                 att = [int(stable_att[o])]

@@ -1,0 +1,102 @@
+"""Region Proposal Network + proposal layer (fixed-shape, masked).
+
+Mirrors the jwyang RPN consumed by the reference's frozen Faster R-CNN
+(tools/fasterRCNN/lib/model/rpn/, external): a 3x3/512 conv trunk with
+2A-way objectness and 4A-way box-delta heads over stride-16 anchors, then
+the proposal layer — decode, clip, top-K pre-NMS, NMS@0.7, top-N post-NMS.
+The data-dependent NMS keep-set becomes a fixed-size proposal buffer with a
+validity mask (TPU shape discipline); scores of invalid slots are zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg.ops.boxes import bbox_transform_inv, clip_boxes
+from vidsgg.ops.nms import nms_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    anchor_scales: tuple = (4, 8, 16, 32)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    feat_stride: int = 16
+    pre_nms_top_n: int = 6000
+    post_nms_top_n: int = 300
+    nms_thresh: float = 0.7
+    min_size: float = 16.0
+
+
+def generate_anchors(cfg: RPNConfig, fh: int, fw: int) -> np.ndarray:
+    """[fh*fw*A, 4] anchors in image coordinates (jwyang generate_anchors
+    lineage: base 16 box, ratio then scale enumeration, centered)."""
+    base = 16.0
+    anchors = []
+    for r in cfg.anchor_ratios:
+        size = base * base
+        ws = np.round(np.sqrt(size / r))
+        hs = np.round(ws * r)
+        for s in cfg.anchor_scales:
+            w, h = ws * s, hs * s
+            cx = cy = (base - 1) / 2.0
+            anchors.append(
+                [cx - 0.5 * (w - 1), cy - 0.5 * (h - 1),
+                 cx + 0.5 * (w - 1), cy + 0.5 * (h - 1)]
+            )
+    anchors = np.array(anchors)  # [A, 4]
+    sx = np.arange(fw) * cfg.feat_stride
+    sy = np.arange(fh) * cfg.feat_stride
+    sx, sy = np.meshgrid(sx, sy)
+    shifts = np.stack([sx.ravel(), sy.ravel(), sx.ravel(), sy.ravel()], axis=1)
+    all_anchors = (anchors[None, :, :] + shifts[:, None, :]).reshape(-1, 4)
+    return all_anchors.astype(np.float32)
+
+
+class RPN(nn.Module):
+    """[B, fh, fw, 1024] -> (objectness [B, K], deltas [B, K, 4]) over
+    K = fh*fw*A anchors."""
+
+    num_anchors: int
+
+    @nn.compact
+    def __call__(self, feat):
+        h = nn.relu(nn.Conv(512, (3, 3), padding=1, name="rpn_conv")(feat))
+        score = nn.Conv(2 * self.num_anchors, (1, 1), name="rpn_cls_score")(h)
+        bbox = nn.Conv(4 * self.num_anchors, (1, 1), name="rpn_bbox_pred")(h)
+        b, fh, fw, _ = score.shape
+        # softmax over (bg, fg) per anchor; jwyang layout groups bg then fg
+        score = score.reshape(b, fh * fw, 2, self.num_anchors)
+        fg = jax.nn.softmax(score, axis=2)[:, :, 1, :]
+        fg = fg.reshape(b, fh * fw * self.num_anchors)
+        bbox = bbox.reshape(b, fh * fw * self.num_anchors, 4)
+        return fg, bbox
+
+
+def proposal_layer(
+    fg_scores: jnp.ndarray,   # [B, K]
+    deltas: jnp.ndarray,      # [B, K, 4]
+    anchors: jnp.ndarray,     # [K, 4]
+    im_hw: jnp.ndarray,       # [2] (H, W) network scale
+    cfg: RPNConfig,
+):
+    """-> (rois [B, N, 4], roi_scores [B, N], roi_mask [B, N])."""
+
+    def per_image(scores, d):
+        boxes = bbox_transform_inv(anchors, d.reshape(-1, 4 * 1))
+        boxes = clip_boxes(boxes, im_hw)
+        k = min(cfg.pre_nms_top_n, scores.shape[0])
+        top_scores, idx = jax.lax.top_k(scores, k)
+        top_boxes = boxes[idx]
+        keep = nms_mask(top_boxes, top_scores, jnp.ones(k, bool), cfg.nms_thresh)
+        # stable-order selection of the first post_nms_top_n kept boxes
+        rank = jnp.where(keep, jnp.arange(k), k)
+        order = jnp.argsort(rank)[: cfg.post_nms_top_n]
+        mask = keep[order]
+        return top_boxes[order] * mask[:, None], top_scores[order] * mask, mask
+
+    return jax.vmap(per_image)(fg_scores, deltas)

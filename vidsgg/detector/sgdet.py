@@ -1,0 +1,357 @@
+"""SGDet detection pipeline: frozen Faster R-CNN -> padded detections ->
+relation-stage Entry.
+
+Re-designs tools/utils/object_detector.py:57-302. The reference loops frames
+in chunks of 10 and classes in Python, calling CUDA NMS per (frame, class)
+slice; here detection is one jit region per video: class-specific box
+decode (stds [0.1, 0.1, 0.2, 0.2], :101-102), score threshold 0.1, batched
+masked NMS@0.4 over the (frame, class) grid (:116-130), person kept top-1
+only (:132-137), then a top-D-per-frame selection into a fixed detection
+buffer.
+
+Train-time GT assignment (``assign_relations`` IoU >= 0.5 greedy matching,
+funcs.py:6-77) and the SUPPLY of undetected GT boxes (:170-227) are host
+bookkeeping between the detect jit and the relation jit; SUPPLY re-pooling
+runs through a jitted ROIAlign+head helper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg import constants as C
+from vidsgg.data.entry import Entry, EntryCapacity
+from vidsgg.detector.faster_rcnn import FasterRCNN
+from vidsgg.eval.evaluator import np_bbox_overlaps
+from vidsgg.ops.boxes import bbox_transform_inv, clip_boxes
+from vidsgg.ops.nms import batched_class_nms
+from vidsgg.ops.roi_align import roi_align
+
+BBOX_STDS = (0.1, 0.1, 0.2, 0.2)
+SCORE_THRESH = 0.1
+NMS_THRESH = 0.4
+
+
+@dataclasses.dataclass(frozen=True)
+class SgdetCaps:
+    dets_per_frame: int = 16
+
+
+def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
+    """Returns jit(variables, frames [F,H,W,3], im_hw, im_scale) ->
+    per-frame padded detections dict."""
+
+    @jax.jit
+    def detect(variables, frames, im_hw, im_scale):
+        out = model.apply(variables, frames, im_hw)
+        rois = out["rois"][..., 1:]                      # [F, N, 4]
+        stds = jnp.tile(jnp.asarray(BBOX_STDS), model.num_classes)
+        pred = bbox_transform_inv(rois, out["bbox_pred"] * stds)
+        pred = clip_boxes(pred, im_hw) / im_scale        # original scale
+        f, n, _ = rois.shape
+        nc = model.num_classes
+
+        scores = out["cls_prob"]                          # [F, N, C]
+        # class axis 1..C-1 (skip background)
+        cls_boxes = pred.reshape(f, n, nc, 4)[:, :, 1:, :].transpose(0, 2, 1, 3)
+        cls_scores = scores[:, :, 1:].transpose(0, 2, 1)  # [F, C-1, N]
+        valid = (cls_scores > SCORE_THRESH) & out["roi_mask"][:, None, :]
+        keep = batched_class_nms(cls_boxes, cls_scores, valid, NMS_THRESH)
+
+        # person class (j=1 -> index 0): keep only the top-scoring survivor
+        person_scores = jnp.where(keep[:, 0], cls_scores[:, 0], -1.0)
+        top_person = jnp.argmax(person_scores, axis=1)
+        person_keep = (
+            jnp.zeros_like(keep[:, 0])
+            .at[jnp.arange(f), top_person]
+            .set(keep[:, 0].any(axis=1))
+        )
+        keep = keep.at[:, 0].set(person_keep)
+
+        # top-D detections per frame by score
+        flat_scores = jnp.where(keep, cls_scores, -1.0).reshape(f, -1)
+        top_scores, flat_idx = jax.lax.top_k(flat_scores, caps.dets_per_frame)
+        det_mask = top_scores > 0
+        cls_idx = flat_idx // n
+        roi_idx = flat_idx % n
+        fi = jnp.arange(f)[:, None]
+        det_boxes = jnp.clip(cls_boxes[fi, cls_idx, roi_idx], 0.0)
+        det_labels = (cls_idx + 1) * det_mask
+        det_feats = out["roi_features"][fi, roi_idx] * det_mask[..., None]
+        # class logits for the full detection set (softmax over 1..C-1 at
+        # :284-286 happens host-side from these features)
+        return {
+            "boxes": det_boxes * det_mask[..., None],
+            "labels": det_labels,
+            "scores": top_scores * det_mask,
+            "features": det_feats,
+            "mask": det_mask,
+            "base_feat": out["base_feat"],
+        }
+
+    return detect
+
+
+def make_supply_fn(model: FasterRCNN):
+    """jit (variables, base_feat [F,h,w,1024], rois [K,5 net scale]) ->
+    (features [K, 2048], cls_prob [K, C]) — the SUPPLY re-pooling
+    (object_detector.py:206-210)."""
+
+    @jax.jit
+    def supply(variables, base_feat, rois):
+        pooled = roi_align(
+            base_feat, rois, out_size=C.ROI_ALIGN_OUT,
+            spatial_scale=C.ROI_ALIGN_SCALE,
+        )
+        feats = model.apply(variables, pooled, method="head_to_tail")
+        logits = model.apply(variables, feats, method="class_scores")
+        return feats, jax.nn.softmax(logits, axis=1)
+
+    return supply
+
+
+def make_class_score_fn(model: FasterRCNN):
+    @jax.jit
+    def score(variables, feats):
+        return model.apply(variables, feats, method="class_scores")
+
+    return score
+
+
+def assign_relations(frame_boxes, frame_labels, gt_annotation, iou_thresh=0.5):
+    """Greedy IoU assignment of detections to GT per frame
+    (tools/utils/funcs.py:6-77). Returns per-frame (found_idx, gt_items,
+    supply_items) plus flat assigned labels aligned to the detection list."""
+    found_all, gts_all, supply_all = [], [], []
+    assigned = [np.zeros(len(b), np.int64) for b in frame_boxes]
+    for i, frame_gt in enumerate(gt_annotation):
+        gt_boxes = np.zeros((len(frame_gt), 4))
+        gt_labels = np.zeros(len(frame_gt), np.int64)
+        gt_boxes[0] = np.asarray(frame_gt[0]["person_bbox"]).reshape(-1)[:4]
+        gt_labels[0] = 1
+        for m, n in enumerate(frame_gt[1:]):
+            gt_boxes[m + 1] = n["bbox"]
+            gt_labels[m + 1] = n["class"]
+        pred_boxes = frame_boxes[i]
+        if len(pred_boxes) == 0:
+            found_all.append([])
+            gts_all.append([])
+            supply_all.append(list(frame_gt))
+            continue
+        ious = np_bbox_overlaps(pred_boxes, gt_boxes)
+        best = ious.max(1) > iou_thresh
+        assigned[i][best] = gt_labels[ious.argmax(1)][best]
+
+        found, gts, supply, candidates = [], [], [], []
+        for m, item in enumerate(frame_gt):
+            col = ious[:, m]
+            if (col > iou_thresh).sum() > 0:
+                cand = int(col.argmax())
+                if m > 0 and cand in candidates:
+                    for c in np.argsort(-col):
+                        if int(c) not in candidates:
+                            cand = int(c)
+                            break
+                found.append(cand)
+                gts.append(item)
+                candidates.append(cand)
+                if m > 0:
+                    assigned[i][cand] = item["class"]
+            else:
+                supply.append(item)
+        found_all.append(found)
+        gts_all.append(gts)
+        supply_all.append(supply)
+    return found_all, gts_all, supply_all, assigned
+
+
+class SgdetFrontend:
+    """Video frames -> relation-stage Entry (train or test)."""
+
+    def __init__(self, model: FasterRCNN, variables, caps: SgdetCaps,
+                 entry_cap: EntryCapacity):
+        self.model = model
+        self.variables = variables
+        self.caps = caps
+        self.entry_cap = entry_cap
+        self.detect = make_detect_fn(model, caps)
+        self.supply = make_supply_fn(model)
+        self.class_score = make_class_score_fn(model)
+
+    def __call__(self, frames, im_hw, im_scale, gt_annotation=None,
+                 is_train=False, video_size=(600.0, 400.0)):
+        dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        f = frames.shape[0]
+        frame_boxes = [dets["boxes"][i][dets["mask"][i]] for i in range(f)]
+        frame_feats = [dets["features"][i][dets["mask"][i]] for i in range(f)]
+        frame_scores = [dets["scores"][i][dets["mask"][i]] for i in range(f)]
+        frame_labels = [dets["labels"][i][dets["mask"][i]] for i in range(f)]
+
+        if is_train:
+            assert gt_annotation is not None
+            return self._train_entry(
+                dets, frame_boxes, frame_feats, frame_scores, frame_labels,
+                gt_annotation, im_scale, video_size,
+            )
+        return self._test_entry(
+            dets, frame_boxes, frame_feats, frame_scores, im_scale, video_size
+        )
+
+    # -- assembly helpers ----------------------------------------------------
+
+    def _pack_entry(self, boxes, labels, scores, feats, dists, pred_labels,
+                    pairs, im_idx, rels, im_scale, video_size, num_frames):
+        cap = self.entry_cap
+        e = Entry.zeros(cap)
+        n, p = len(boxes), len(pairs)
+        if n > cap.max_objs or p > cap.max_pairs:
+            raise ValueError(f"sgdet video exceeds capacity ({n} objs, {p} pairs)")
+
+        def pad(a, k, dtype=np.float32):
+            out = np.zeros((k,) + a.shape[1:], dtype)
+            out[: len(a)] = a
+            return out
+
+        a_rel = np.zeros((cap.max_pairs,), np.int32)
+        s_rel = np.zeros((cap.max_pairs, C.NUM_SPATIAL), np.float32)
+        c_rel = np.zeros((cap.max_pairs, C.NUM_CONTACTING), np.float32)
+        if rels is not None:
+            for j, (a, s, c) in enumerate(rels):
+                a_rel[j] = a[0]
+                s_rel[j, s] = 1.0
+                c_rel[j, c] = 1.0
+
+        human_idx = np.zeros(cap.max_frames, np.int32)
+        for j, pr in zip(im_idx, pairs):
+            human_idx[j] = pr[0]
+
+        return e.replace(
+            boxes=pad(boxes, cap.max_objs),
+            labels=pad(labels, cap.max_objs, np.int32),
+            scores=pad(scores, cap.max_objs),
+            distribution=pad(dists, cap.max_objs),
+            pred_labels=pad(pred_labels, cap.max_objs, np.int32),
+            features=pad(feats, cap.max_objs),
+            obj_mask=np.arange(cap.max_objs) < n,
+            im_idx=pad(np.asarray(im_idx, np.int32), cap.max_pairs, np.int32),
+            pair_idx=pad(np.asarray(pairs, np.int32).reshape(-1, 2), cap.max_pairs, np.int32),
+            pair_mask=np.arange(cap.max_pairs) < p,
+            attention_gt=a_rel,
+            spatial_gt=s_rel,
+            contacting_gt=c_rel,
+            human_idx=human_idx,
+            frame_mask=np.arange(cap.max_frames) < num_frames,
+            im_scale=np.float32(im_scale),
+            num_frames=np.int32(num_frames),
+            video_size=np.asarray(video_size, np.float32),
+        )
+
+    def _test_entry(self, dets, frame_boxes, frame_feats, frame_scores,
+                    im_scale, video_size):
+        f = len(frame_boxes)
+        boxes, feats = [], []
+        for i in range(f):
+            for b, ft in zip(frame_boxes[i], frame_feats[i]):
+                boxes.append(np.concatenate([[i], b]))
+                feats.append(ft)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
+        feats = np.asarray(feats, np.float32).reshape(-1, 2048)
+        logits = np.asarray(self.class_score(self.variables, jnp.asarray(feats)))
+        ex = np.exp(logits[:, 1:] - logits[:, 1:].max(1, keepdims=True))
+        dists = ex / ex.sum(1, keepdims=True)
+        pred_labels = dists.argmax(1) + 1
+        pred_scores = dists.max(1)
+        return self._pack_entry(
+            boxes, pred_labels, pred_scores, feats, dists, pred_labels,
+            pairs=[], im_idx=[], rels=None, im_scale=im_scale,
+            video_size=video_size, num_frames=f,
+        ), dets["base_feat"]
+
+    def _train_entry(self, dets, frame_boxes, frame_feats, frame_scores,
+                     frame_labels, gt_annotation, im_scale, video_size):
+        found, gts, supply, assigned = assign_relations(
+            frame_boxes, frame_labels, gt_annotation
+        )
+        f = len(frame_boxes)
+        boxes, labels, scores, feats = [], [], [], []
+        frame_offset = []
+        for i in range(f):
+            frame_offset.append(len(boxes))
+            nb = len(frame_boxes[i])
+            for b, ft, sc, al in zip(
+                frame_boxes[i], frame_feats[i], frame_scores[i], assigned[i]
+            ):
+                boxes.append(np.concatenate([[i], b]))
+                labels.append(al)
+                scores.append(sc)
+                feats.append(ft)
+            # SUPPLY: append undetected GT boxes with unit scores
+            if supply[i]:
+                sup_boxes = []
+                for item in supply[i]:
+                    bb = (
+                        np.asarray(item["person_bbox"]).reshape(-1)[:4]
+                        if "person_bbox" in item
+                        else np.asarray(item["bbox"], np.float32)
+                    )
+                    cls = 1 if "person_bbox" in item else int(item["class"])
+                    sup_boxes.append(bb)
+                    boxes.append(np.concatenate([[i], bb]))
+                    labels.append(cls)
+                    scores.append(1.0)
+                found[i] = list(found[i]) + list(
+                    range(nb, nb + len(supply[i]))
+                )
+                gts[i] = list(gts[i]) + list(supply[i])
+                rois = np.concatenate(
+                    [np.full((len(sup_boxes), 1), i, np.float32),
+                     np.asarray(sup_boxes, np.float32) * im_scale], axis=1
+                )
+                sup_feats, _ = self.supply(
+                    self.variables, jnp.asarray(dets["base_feat"]), jnp.asarray(rois)
+                )
+                feats.extend(np.asarray(sup_feats))
+
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
+        labels = np.asarray(labels, np.int64)
+        scores = np.asarray(scores, np.float32)
+        feats = np.asarray(feats, np.float32).reshape(-1, 2048)
+        logits = np.asarray(self.class_score(self.variables, jnp.asarray(feats)))
+        ex = np.exp(logits[:, 1:] - logits[:, 1:].max(1, keepdims=True))
+        dists = ex / ex.sum(1, keepdims=True)
+
+        # pair construction from GT relations (:231-253)
+        im_idx, pairs, rels = [], [], []
+        for i in range(f):
+            human_local = None
+            for k, item in enumerate(gts[i]):
+                if "person_bbox" in item:
+                    human_local = found[i][k]
+                    break
+            if human_local is None:
+                continue
+            human_global = frame_offset[i] + int(human_local)
+            for k, item in enumerate(gts[i]):
+                if "class" in item:
+                    im_idx.append(i)
+                    pairs.append(
+                        [human_global, frame_offset[i] + int(found[i][k])]
+                    )
+                    rels.append(
+                        (
+                            np.asarray(item["attention_relationship"]).reshape(-1),
+                            np.asarray(item["spatial_relationship"]).reshape(-1),
+                            np.asarray(item["contacting_relationship"]).reshape(-1),
+                        )
+                    )
+
+        return self._pack_entry(
+            boxes, labels, scores, feats, dists, labels.copy(), pairs, im_idx,
+            rels, im_scale, video_size, f,
+        ), dets["base_feat"]

@@ -13,57 +13,34 @@ compile — so this implementation uses a static ``sampling_ratio`` (default 2,
 the torchvision convention). The difference is a slightly different
 quadrature of the same bilinear surface.
 
-Layout: features are NHWC (TPU-friendly; channels on the 128-lane axis).
-The whole op is expressed as one batched gather + einsum-free weighted sum so
-XLA fuses it into a handful of kernels; with C=1024 the gathers are fully
-lane-utilized.
+Memory/layout design: features are NHWC (channels on the 128-lane axis).
+The four bilinear corners are expressed as ONE flat gather of
+[chunk, samples*4] indices with scalar weights folded in afterwards, and the
+roi axis is processed in fixed-size chunks under ``lax.map`` so peak HBM is
+O(chunk * out^2 * s^2 * 4 * C) regardless of the roi count (a naive
+broadcast formulation OOMs a v5e chip at detector shapes).
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(fmap: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinearly sample ``fmap`` [H, W, C] at float coords y/x [...]. -> [..., C].
-
-    Out-of-range samples contribute zero (matches the CUDA kernel: samples
-    with y < -1 or y > H are skipped; borders are clamped).
-    """
-    h, w = fmap.shape[0], fmap.shape[1]
-    valid = (y >= -1.0) & (y <= h) & (x >= -1.0) & (x <= w)
-    y = jnp.clip(y, 0.0, h - 1.0)
-    x = jnp.clip(x, 0.0, w - 1.0)
-
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = y - y0.astype(y.dtype)
-    lx = x - x0.astype(x.dtype)
-    hy = 1.0 - ly
-    hx = 1.0 - lx
-
-    v00 = fmap[y0, x0]
-    v01 = fmap[y0, x1]
-    v10 = fmap[y1, x0]
-    v11 = fmap[y1, x1]
-    out = (
-        v00 * (hy * hx)[..., None]
-        + v01 * (hy * lx)[..., None]
-        + v10 * (ly * hx)[..., None]
-        + v11 * (ly * lx)[..., None]
-    )
-    return jnp.where(valid[..., None], out, 0.0)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def roi_align(
     features: jnp.ndarray,
     rois: jnp.ndarray,
     out_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 2,
+    chunk_size: int = 128,
 ) -> jnp.ndarray:
     """ROIAlign.
 
@@ -73,48 +50,76 @@ def roi_align(
       out_size: output spatial resolution (7).
       spatial_scale: feature-map stride inverse (1/16).
       sampling_ratio: static samples-per-bin along each axis.
+      chunk_size: rois per lax.map step (bounds peak memory).
 
     Returns:
       [R, out_size, out_size, C] pooled features.
     """
-    rois = rois.astype(jnp.float32)
-    batch_idx = rois[:, 0].astype(jnp.int32)
-    x1 = rois[:, 1] * spatial_scale
-    y1 = rois[:, 2] * spatial_scale
-    x2 = rois[:, 3] * spatial_scale
-    y2 = rois[:, 4] * spatial_scale
-
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / out_size
-    bin_h = roi_h / out_size
-
+    b, h, w, c = features.shape
+    r = rois.shape[0]
     s = sampling_ratio
-    # sample offsets within a bin: (i + 0.5) / s for i in range(s)
+    flat = features.reshape(b, h * w, c)
+
+    rois = rois.astype(jnp.float32)
+    pad_r = _round_up(max(r, 1), chunk_size)
+    rois_p = jnp.zeros((pad_r, 5), jnp.float32).at[:r].set(rois)
+
     offs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    grid = (
+        jnp.arange(out_size, dtype=jnp.float32)[:, None] + offs[None, :]
+    ).reshape(-1)  # [out*s] sample positions in bin units
 
-    # coords: [R, out, s]
-    ys = (
-        y1[:, None, None]
-        + (jnp.arange(out_size, dtype=jnp.float32)[None, :, None] + offs[None, None, :])
-        * bin_h[:, None, None]
-    )
-    xs = (
-        x1[:, None, None]
-        + (jnp.arange(out_size, dtype=jnp.float32)[None, :, None] + offs[None, None, :])
-        * bin_w[:, None, None]
-    )
+    def pool_chunk(chunk):
+        batch_idx = chunk[:, 0].astype(jnp.int32)
+        x1 = chunk[:, 1] * spatial_scale
+        y1 = chunk[:, 2] * spatial_scale
+        x2 = chunk[:, 3] * spatial_scale
+        y2 = chunk[:, 4] * spatial_scale
+        bin_w = jnp.maximum(x2 - x1, 1.0) / out_size
+        bin_h = jnp.maximum(y2 - y1, 1.0) / out_size
 
-    # full grid per roi: [R, out, s, out, s]
-    yy = ys[:, :, :, None, None]
-    xx = xs[:, None, None, :, :]
-    yy = jnp.broadcast_to(yy, (rois.shape[0], out_size, s, out_size, s))
-    xx = jnp.broadcast_to(xx, (rois.shape[0], out_size, s, out_size, s))
+        ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # [K, out*s]
+        xs = x1[:, None] + grid[None, :] * bin_w[:, None]
 
-    def sample_one(b, y, x):
-        fmap = features[b]
-        return _bilinear_gather(fmap, y, x)  # [out, s, out, s, C]
+        def corners(v, hi):
+            valid = (v >= -1.0) & (v <= hi)
+            vc = jnp.clip(v, 0.0, hi - 1.0)
+            v0 = jnp.floor(vc).astype(jnp.int32)
+            v1 = jnp.minimum(v0 + 1, int(hi) - 1)
+            frac = vc - v0.astype(vc.dtype)
+            return v0, v1, frac, valid
 
-    sampled = jax.vmap(sample_one)(batch_idx, yy, xx)
-    # average the s*s samples per bin
-    return sampled.mean(axis=(2, 4))
+        y0, y1i, fy, vy = corners(ys, float(h))
+        x0, x1i, fx, vx = corners(xs, float(w))
+
+        k = chunk.shape[0]
+        m = out_size * s
+        # flat spatial indices for the 4 corners of every (y, x) sample
+        yy0 = y0[:, :, None]
+        yy1 = y1i[:, :, None]
+        xx0 = x0[:, None, :]
+        xx1 = x1i[:, None, :]
+        idx = jnp.stack(
+            [
+                yy0 * w + xx0,
+                yy0 * w + xx1,
+                yy1 * w + xx0,
+                yy1 * w + xx1,
+            ],
+            axis=-1,
+        ).reshape(k, m * m * 4)
+
+        wy = jnp.stack([1.0 - fy, fy], -1)[:, :, None, :, None]  # [K, m, 1, 2, 1]
+        wx = jnp.stack([1.0 - fx, fx], -1)[:, None, :, None, :]  # [K, 1, m, 1, 2]
+        wgt = (wy * wx).reshape(k, m, m, 4)
+        valid = (vy[:, :, None] & vx[:, None, :])[..., None]
+        wgt = jnp.where(valid, wgt, 0.0).reshape(k, m * m * 4)
+
+        gathered = flat[batch_idx[:, None], idx]  # [K, m*m*4, C]
+        out = (gathered * wgt[..., None]).reshape(k, m, m, 4, c).sum(3)
+        # average the s*s samples per bin
+        out = out.reshape(k, out_size, s, out_size, s, c).mean(axis=(2, 4))
+        return out
+
+    pooled = jax.lax.map(pool_chunk, rois_p.reshape(-1, chunk_size, 5))
+    return pooled.reshape(pad_r, out_size, out_size, c)[:r]

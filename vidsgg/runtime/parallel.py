@@ -1,0 +1,88 @@
+"""Data-parallel training step (pjit over a video batch).
+
+The per-video computation is the same jit region as the single-chip step
+(vidsgg.train.steps); here it is vmapped over a leading video axis and the
+batch is sharded across the mesh's ``data`` axis while the train state is
+replicated. XLA then partitions the vmapped forward/backward per device and
+inserts one gradient all-reduce over ICI — no hand-written collectives.
+
+BatchNorm running stats are updated per video under vmap and averaged across
+the batch afterwards (the reference trains with batch = 1 video, so its BN
+stats are per-video EMAs too; averaging across the parallel videos is the
+natural multi-chip generalization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vidsgg.data.entry import Entry
+from vidsgg.runtime.mesh import data_sharding, replicate_sharding
+from vidsgg.train.state import TrainState
+from vidsgg.train.steps import LossFlags, assemble_losses
+
+
+def stack_entries(entries: list[Entry]) -> Entry:
+    """Stack same-capacity entries into a batched Entry pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
+
+
+def make_parallel_train_step(flags: LossFlags, mesh):
+    repl = replicate_sharding(mesh)
+    shard = data_sharding(mesh)
+
+    def step_fn(state: TrainState, batch: Entry, rngs: jnp.ndarray):
+        def one_video(entry, rng):
+            d_rng, g_rng = jax.random.split(rng)
+
+            def loss_fn_inner(params):
+                out, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    entry,
+                    phase="train",
+                    unc=False,
+                    rel_memory=state.rel_memory,
+                    obj_memory=state.obj_memory,
+                    mem_active=state.mem_active,
+                    rngs={"dropout": d_rng, "gmm": g_rng},
+                    mutable=["batch_stats"],
+                )
+                losses = assemble_losses(out, entry, flags)
+                return sum(losses.values()), (losses, mutated["batch_stats"])
+
+            return loss_fn_inner
+
+        def loss_fn(params):
+            def fwd(entry, rng):
+                total, aux = one_video(entry, rng)(params)
+                return total, aux
+
+            totals, (losses, stats) = jax.vmap(fwd)(batch, rngs)
+            mean_losses = jax.tree.map(lambda x: x.mean(0), losses)
+            mean_stats = jax.tree.map(lambda x: x.mean(0), stats)
+            return totals.mean(), (mean_losses, mean_stats)
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, shard, shard),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

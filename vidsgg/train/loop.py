@@ -1,0 +1,151 @@
+"""Epoch-level training orchestration.
+
+Mirrors the reference training skeleton (TEMPURA_train.py:132-379 /
+TEATGT_train.py:115-300) re-arranged for the TPU pipeline:
+
+* per video: one jitted train step; when memory/uncertainty is enabled, one
+  jitted ``unc=True`` forward whose outputs fold into the device-resident
+  memory accumulator (no .npy round trips);
+* per epoch: validation through the mode-aware EvalPipeline + exact
+  evaluator, checkpoints every 5 epochs and on best R@20 / mR@20, LR
+  schedule stepped per epoch (inside the optax schedule), epoch-end memory
+  bank finalization injected into the train state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from vidsgg.data.entry import Entry, EntryCapacity
+from vidsgg.debias import MemoryAccumulator, accumulate_memory, finalize_memory
+from vidsgg.eval import get_ag_evaluators
+from vidsgg.eval.temporal import (
+    evaluate_temporal_consistency,
+    temporal_consistency_summary,
+)
+from vidsgg.train.checkpoint import save_checkpoint
+from vidsgg.train.eval_pipeline import EvalPipeline
+from vidsgg.train.metrics import MetricsWriter
+from vidsgg.train.state import TrainState, obj_memory_dim
+from vidsgg.train.steps import LossFlags, eval_step_jit, make_train_step
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    mode: str = "predcls"
+    nepoch: int = 10
+    log_iter: int = 100
+    save_path: str = "checkpoint/"
+    rel_mem_weight_type: str = "simple"
+    obj_mem_weight_type: str = "simple"
+    obj_mem_compute: bool = False
+    mem_enabled: bool = True
+    compute_temporal_consistency: bool = True
+
+
+VideoBatch = tuple[Entry, np.ndarray, list]  # (entry, fmaps, gt_annotation)
+
+
+def run_training(
+    state: TrainState,
+    flags: LossFlags,
+    loop_cfg: TrainLoopConfig,
+    train_data: Callable[[], Iterable[VideoBatch]],
+    val_data: Callable[[], Iterable[VideoBatch]],
+    cap: EntryCapacity,
+    writer: MetricsWriter,
+    rng,
+    model_cfg=None,
+) -> TrainState:
+    train_step = make_train_step(flags)
+    pipeline = EvalPipeline(loop_cfg.mode, cap)
+    best_recall, best_mrecall = 0.0, 0.0
+    obj_dim = obj_memory_dim(model_cfg) if model_cfg is not None else 1024
+
+    step_i = 0
+    for epoch in range(loop_cfg.nepoch):
+        acc = MemoryAccumulator.zeros(obj_dim=obj_dim)
+        window = []
+        t0 = time.time()
+        for entry, fmaps, gt in train_data():
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, entry, sub)
+            if loop_cfg.mem_enabled:
+                out_unc = eval_step_jit(state, entry, True)
+                acc = accumulate_memory(
+                    acc, entry, out_unc,
+                    loop_cfg.rel_mem_weight_type, loop_cfg.obj_mem_weight_type,
+                    obj_mem=loop_cfg.obj_mem_compute,
+                )
+            window.append({k: float(v) for k, v in metrics.items()})
+            step_i += 1
+            if step_i % loop_cfg.log_iter == 0:
+                mean = {
+                    k: float(np.mean([w[k] for w in window[-loop_cfg.log_iter:]]))
+                    for k in window[-1]
+                }
+                dt = (time.time() - t0) / max(len(window), 1)
+                writer.text(
+                    f"epoch {epoch} step {step_i}  {dt:.3f}s/batch  "
+                    + "  ".join(f"{k}={v:.4f}" for k, v in mean.items())
+                )
+                writer.scalars(
+                    {
+                        "att_loss": mean.get("attention_relation_loss", 0.0),
+                        "spatial_loss": mean.get("spatial_relation_loss", 0.0),
+                        "contact_loss": mean.get("contacting_relation_loss", 0.0),
+                        "total_loss": mean.get("total_loss", 0.0),
+                    },
+                    step_i,
+                )
+
+        # ---- validation ----
+        ev_with, ev_semi, ev_no = get_ag_evaluators(loop_cfg.mode)
+        tc_s, tc_c = [], []
+        for entry, fmaps, gt in val_data():
+            pred = pipeline(state, entry, fmaps, gt_entry=entry)
+            for ev in (ev_with, ev_semi, ev_no):
+                ev.evaluate_scene_graph(gt, pred)
+            if loop_cfg.compute_temporal_consistency and loop_cfg.mode != "sgdet":
+                s, c = evaluate_temporal_consistency(pred, loop_cfg.mode)
+                if s is not None:
+                    tc_s.extend(s)
+                    tc_c.extend(c)
+        recall = ev_with.recall_at(20)
+        mrecall = ev_with.calc_mrecall()[20]
+        writer.text(
+            f"epoch {epoch} val: R@20={recall:.4f} mR@20={mrecall:.4f} "
+            f"(semi R@20={ev_semi.recall_at(20):.4f}, no R@20={ev_no.recall_at(20):.4f})",
+            val=True,
+        )
+        for name, ev in (("with", ev_with), ("semi", ev_semi), ("no", ev_no)):
+            for k in ev.KS:
+                writer.scalar(f"{name}_R@{k}", ev.recall_at(k), epoch)
+                writer.scalar(f"{name}_MR@{k}", ev.mean_recall_at(k), epoch)
+        if tc_s:
+            tc = temporal_consistency_summary(np.array(tc_s), np.array(tc_c))
+            writer.scalar("temporal_consistency", tc["combined"], epoch)
+
+        # ---- checkpoints (every 5 epochs + best R/mR, ref :296-349) ----
+        if epoch % 5 == 0:
+            save_checkpoint(loop_cfg.save_path, state, f"checkpoint_{epoch}")
+        if recall > best_recall:
+            best_recall = recall
+            writer.text(f"new best recall {recall:.4f} at epoch {epoch}", val=True)
+            save_checkpoint(loop_cfg.save_path, state, "best_recall")
+        if mrecall > best_mrecall:
+            best_mrecall = mrecall
+            writer.text(f"new best Mrecall {mrecall:.4f} at epoch {epoch}", val=True)
+            save_checkpoint(loop_cfg.save_path, state, "best_Mrecall")
+
+        # ---- epoch-end memory computation (ref :360-379) ----
+        if loop_cfg.mem_enabled:
+            rel_mem, obj_mem = finalize_memory(acc)
+            state = state.with_memory(rel_mem, obj_mem)
+
+    return state
