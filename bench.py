@@ -49,7 +49,10 @@ def build():
 
     rng = jax.random.PRNGKey(0)
 
-    det_model = FasterRCNN(rpn_cfg=RPNConfig(pre_nms_top_n=2000, post_nms_top_n=128))
+    det_model = FasterRCNN(
+        rpn_cfg=RPNConfig(pre_nms_top_n=1000, post_nms_top_n=128),
+        dtype=jnp.bfloat16,
+    )
     frames = jnp.zeros((CHUNK, H, W, 3), jnp.float32)
     det_vars = jax.jit(det_model.init)(rng, frames, jnp.array([float(H), float(W)]))
     detect = make_detect_fn(det_model, SgdetCaps(dets_per_frame=8))

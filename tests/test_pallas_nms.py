@@ -1,0 +1,66 @@
+"""Pallas NMS kernel (interpret mode on CPU) vs the lax reference."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg.ops import nms_mask
+from vidsgg.ops.pallas_nms import nms_mask_pallas
+
+
+def _random_problem(rng, n):
+    x1y1 = rng.rand(n, 2).astype(np.float32) * 60
+    wh = rng.rand(n, 2).astype(np.float32) * 40 + 2
+    boxes = np.concatenate([x1y1, x1y1 + wh], 1)
+    scores = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.25
+    return boxes, scores, valid
+
+
+def test_pallas_nms_matches_reference_single():
+    rng = np.random.RandomState(0)
+    for t in (0.3, 0.5, 0.7):
+        boxes, scores, valid = _random_problem(rng, 40)
+        want = np.asarray(
+            nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), t)
+        )
+        got = np.asarray(
+            nms_mask_pallas(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), t,
+                True,
+            )
+        )
+        assert (got == want).all(), f"mismatch at thresh {t}"
+
+
+def test_pallas_nms_batched_grid():
+    rng = np.random.RandomState(1)
+    g, n = 6, 32
+    boxes = np.stack([_random_problem(rng, n)[0] for _ in range(g)])
+    scores = rng.rand(g, n).astype(np.float32)
+    valid = rng.rand(g, n) > 0.2
+    got = np.asarray(
+        nms_mask_pallas(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, True)
+    )
+    for i in range(g):
+        want = np.asarray(
+            nms_mask(jnp.asarray(boxes[i]), jnp.asarray(scores[i]), jnp.asarray(valid[i]), 0.5)
+        )
+        assert (got[i] == want).all()
+
+
+def test_pallas_nms_all_invalid_and_identical_boxes():
+    n = 16
+    boxes = np.tile(np.array([[0, 0, 10, 10]], np.float32), (n, 1))
+    scores = np.linspace(1, 0, n).astype(np.float32)
+    got = np.asarray(
+        nms_mask_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5, True
+        )
+    )
+    assert got.sum() == 1 and got[0]  # only the top-scored survives
+    got2 = np.asarray(
+        nms_mask_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.zeros(n, bool), 0.5, True
+        )
+    )
+    assert not got2.any()

@@ -31,10 +31,11 @@ class FasterRCNN(nn.Module):
     rpn_cfg: RPNConfig = RPNConfig()
     base_blocks: tuple = (3, 4, 23)   # ResNet-101; tests shrink this
     head_blocks: int = 3
+    dtype: object = jnp.float32       # set bf16 for inference throughput
 
     def setup(self):
-        self.base = ResNet101Base(blocks=self.base_blocks)
-        self.head = ResNetHead(blocks=self.head_blocks)
+        self.base = ResNet101Base(blocks=self.base_blocks, dtype=self.dtype)
+        self.head = ResNetHead(blocks=self.head_blocks, dtype=self.dtype)
         na = len(self.rpn_cfg.anchor_scales) * len(self.rpn_cfg.anchor_ratios)
         self.rpn = RPN(num_anchors=na)
         self.cls_score = nn.Dense(self.num_classes)

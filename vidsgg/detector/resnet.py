@@ -40,34 +40,36 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = jnp.float32  # bf16 compute halves HBM traffic, 2x MXU
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        h = FrozenBatchNorm(name="bn1")(h)
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = FrozenBatchNorm(name="bn1")(h).astype(self.dtype)
         h = nn.relu(h)
         h = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1,
-            use_bias=False, name="conv2",
+            use_bias=False, dtype=self.dtype, name="conv2",
         )(h)
-        h = FrozenBatchNorm(name="bn2")(h)
+        h = FrozenBatchNorm(name="bn2")(h).astype(self.dtype)
         h = nn.relu(h)
-        h = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(h)
+        h = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
         h = FrozenBatchNorm(name="bn3")(h)
         if self.downsample:
             identity = nn.Conv(
                 self.planes * 4, (1, 1), strides=self.stride,
-                use_bias=False, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = FrozenBatchNorm(name="downsample_bn")(identity)
-        return nn.relu(h + identity)
+        return nn.relu(h + identity).astype(self.dtype)
 
 
-def _layer(x, planes, blocks, stride, name_prefix):
-    x = Bottleneck(planes, stride=stride, downsample=True, name=f"{name_prefix}_0")(x)
+def _layer(x, planes, blocks, stride, name_prefix, dtype=jnp.float32):
+    x = Bottleneck(planes, stride=stride, downsample=True, dtype=dtype,
+                   name=f"{name_prefix}_0")(x)
     for i in range(1, blocks):
-        x = Bottleneck(planes, name=f"{name_prefix}_{i}")(x)
+        x = Bottleneck(planes, dtype=dtype, name=f"{name_prefix}_{i}")(x)
     return x
 
 
@@ -78,17 +80,19 @@ class ResNet101Base(nn.Module):
     """
 
     blocks: tuple = (3, 4, 23)
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
-        h = FrozenBatchNorm(name="bn1")(h)
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x.astype(self.dtype))
+        h = FrozenBatchNorm(name="bn1")(h).astype(self.dtype)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        h = _layer(h, 64, self.blocks[0], 1, "layer1")
-        h = _layer(h, 128, self.blocks[1], 2, "layer2")
-        h = _layer(h, 256, self.blocks[2], 2, "layer3")
-        return h
+        h = _layer(h, 64, self.blocks[0], 1, "layer1", self.dtype)
+        h = _layer(h, 128, self.blocks[1], 2, "layer2", self.dtype)
+        h = _layer(h, 256, self.blocks[2], 2, "layer3", self.dtype)
+        return h.astype(jnp.float32)
 
 
 class ResNetHead(nn.Module):
@@ -96,8 +100,9 @@ class ResNetHead(nn.Module):
     (the jwyang ``_head_to_tail``)."""
 
     blocks: int = 3
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, pooled):
-        h = _layer(pooled, 512, self.blocks, 2, "layer4")
-        return h.mean(axis=(1, 2))
+        h = _layer(pooled, 512, self.blocks, 2, "layer4", self.dtype)
+        return h.mean(axis=(1, 2)).astype(jnp.float32)

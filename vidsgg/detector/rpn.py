@@ -85,18 +85,25 @@ def proposal_layer(
     cfg: RPNConfig,
 ):
     """-> (rois [B, N, 4], roi_scores [B, N], roi_mask [B, N])."""
+    from vidsgg.ops.nms import batched_class_nms
 
-    def per_image(scores, d):
+    def decode_topk(scores, d):
         boxes = bbox_transform_inv(anchors, d.reshape(-1, 4 * 1))
         boxes = clip_boxes(boxes, im_hw)
         k = min(cfg.pre_nms_top_n, scores.shape[0])
         top_scores, idx = jax.lax.top_k(scores, k)
-        top_boxes = boxes[idx]
-        keep = nms_mask(top_boxes, top_scores, jnp.ones(k, bool), cfg.nms_thresh)
-        # stable-order selection of the first post_nms_top_n kept boxes
-        rank = jnp.where(keep, jnp.arange(k), k)
-        order = jnp.argsort(rank)[: cfg.post_nms_top_n]
-        mask = keep[order]
-        return top_boxes[order] * mask[:, None], top_scores[order] * mask, mask
+        return boxes[idx], top_scores
 
-    return jax.vmap(per_image)(fg_scores, deltas)
+    top_boxes, top_scores = jax.vmap(decode_topk)(fg_scores, deltas)  # [B, K, 4]
+    keep = batched_class_nms(
+        top_boxes, top_scores, jnp.ones(top_scores.shape, bool), cfg.nms_thresh
+    )
+
+    def select(boxes, scores, kp):
+        k = boxes.shape[0]
+        rank = jnp.where(kp, jnp.arange(k), k)
+        order = jnp.argsort(rank)[: cfg.post_nms_top_n]
+        mask = kp[order]
+        return boxes[order] * mask[:, None], scores[order] * mask, mask
+
+    return jax.vmap(select)(top_boxes, top_scores, keep)

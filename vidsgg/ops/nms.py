@@ -55,13 +55,27 @@ def nms_mask(
     return keep
 
 
+def use_pallas_nms() -> bool:
+    """Pallas kernel on accelerator backends, lax scan on CPU (where the
+    Mosaic interpreter would be slower than XLA)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 def batched_class_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float,
 ) -> jnp.ndarray:
-    """vmap of :func:`nms_mask` over leading axes (e.g. [frames, classes, N])."""
+    """NMS over leading batch axes (e.g. [frames, classes, N]); dispatches to
+    the Pallas kernel (one program per problem) on TPU."""
+    if use_pallas_nms():
+        from vidsgg.ops.pallas_nms import nms_mask_pallas
+
+        return nms_mask_pallas(boxes, scores, valid, iou_thresh)
     flat_shape = (-1,) + boxes.shape[-2:]
     fb = boxes.reshape(flat_shape)
     fs = scores.reshape(-1, scores.shape[-1])
