@@ -60,9 +60,21 @@ def main(argv=None):
     cap = EntryCapacity(max_frames=args.max_frames, max_objs=128, max_pairs=128)
     frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=10), cap)
 
-    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
-    model = Tempura(cfg)
-    pipeline = EvalPipeline("sgdet", cap)
+    if args.model == "teatgt":
+        from vidsgg.models.graph_build import ClipCaps
+        from vidsgg.models.teatgt import TeatGT, TeatGTConfig
+
+        clip_caps = ClipCaps(
+            clip_size=5, n_clips=-(-args.max_frames // 5),
+            tokens_per_clip=64, edges_per_clip=256, tokens_per_frame=12,
+        )
+        cfg = TeatGTConfig.for_mode("sgdet", caps=clip_caps)
+        model = TeatGT(cfg)
+        pipeline = EvalPipeline("sgdet", cap, needs_union=False)
+    else:
+        cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
+        model = Tempura(cfg)
+        pipeline = EvalPipeline("sgdet", cap)
 
     all_preds = {}
     state = None

@@ -124,25 +124,30 @@ class TeatGT(nn.Module):
         self.gap_sem = GlobalAttentionPooling()
         self.gap_gru = GlobalAttentionPooling()
 
-    def __call__(
-        self,
-        entry: Entry,
-        phase: str = "train",
-        unc: bool = False,
-        rel_memory=None,
-        obj_memory=None,
-        mem_active=False,
+    def classify_objects(
+        self, entry: Entry, phase="train", unc=False, obj_memory=None,
+        mem_active=False, deterministic: bool | None = None,
+    ) -> dict[str, Any]:
+        if deterministic is None:
+            deterministic = phase != "train"
+        return self.object_classifier(
+            entry, phase, unc, obj_memory, mem_active, deterministic
+        )
+
+    def relation_forward(
+        self, entry: Entry, obj_mem_features=None, phase: str = "train",
+        unc: bool = False, rel_memory=None, mem_active=False,
         deterministic: bool | None = None,
     ) -> dict[str, Any]:
+        """Graph construction + TokenGT + heads (+ train-time consistency
+        regularizer). ``obj_mem_features``/``rel_memory``/``mem_active`` are
+        accepted for EvalPipeline signature compatibility and unused —
+        TEAT-GT has no memory machinery (lib/teatgt.py:44-46)."""
         cfg = self.cfg
         caps = cfg.caps
         if deterministic is None:
             deterministic = phase != "train"
-
-        aux = self.object_classifier(
-            entry, phase, unc, obj_memory, mem_active, deterministic
-        )
-        out: dict[str, Any] = dict(aux)
+        out: dict[str, Any] = {}
 
         layout = build_token_layout(entry, caps)
 
@@ -215,6 +220,31 @@ class TeatGT(nn.Module):
             out["structure_temp_loss"] = str_loss
             out["semantic_temp_loss"] = sem_loss
         return out
+
+    def __call__(
+        self,
+        entry: Entry,
+        phase: str = "train",
+        unc: bool = False,
+        rel_memory=None,
+        obj_memory=None,
+        mem_active=False,
+        deterministic: bool | None = None,
+    ) -> dict[str, Any]:
+        """Full forward: training in all modes; predcls at test. sgcls/sgdet
+        test routes through the host postprocess between the two stages
+        (vidsgg.train.eval_pipeline)."""
+        if deterministic is None:
+            deterministic = phase != "train"
+        aux = self.classify_objects(
+            entry, phase, unc, obj_memory, mem_active, deterministic
+        )
+        out = self.relation_forward(
+            entry, None, phase, unc, None, mem_active, deterministic
+        )
+        merged = dict(aux)
+        merged.update(out)
+        return merged
 
     def _consistency_losses(self, entry, layout, tok, node_hidden, pair_ids,
                             deterministic):

@@ -54,8 +54,22 @@ def _relation_stage(state: TrainState, entry: Entry, obj_mem_features, fmaps):
     return entry, out
 
 
+def _relation_stage_no_union(state: TrainState, entry: Entry, obj_mem_features, fmaps):
+    """TEAT-GT consumes object features + pairs only — no union ROIAlign."""
+    del fmaps
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry,
+        obj_mem_features,
+        phase="test",
+        method="relation_forward",
+    )
+    return entry, out
+
+
 classify_stage = jax.jit(_classify_stage)
 relation_stage = jax.jit(_relation_stage)
+relation_stage_no_union = jax.jit(_relation_stage_no_union)
 
 
 def _pad_rows(arr: np.ndarray, cap: int) -> np.ndarray:
@@ -104,6 +118,7 @@ def _rebuild_entry(
 class EvalPipeline:
     mode: str
     cap: EntryCapacity
+    needs_union: bool = True  # False for TEAT-GT (no union visual stream)
 
     def __call__(self, state: TrainState, entry: Entry, fmaps, gt_entry: Entry | None = None):
         """Run test-time inference for one video.
@@ -153,7 +168,8 @@ class EvalPipeline:
             self.cap.max_frames, self.cap.max_objs, max(self.cap.max_objs, self.cap.max_pairs)
         )
         entry2, mem = _rebuild_entry(entry, o, human_idx, im_idx, pairs, eval_cap)
-        entry2, out = relation_stage(state, entry2, mem, fmaps)
+        stage = relation_stage if self.needs_union else relation_stage_no_union
+        entry2, out = stage(state, entry2, mem, fmaps)
         pred = to_eval_pred(entry2, out, self.mode)
         if gt_entry is not None:
             # the temporal-consistency metric reads the GT predicate lists in
