@@ -36,3 +36,19 @@ def test_roi_align_batch_index_routing():
     out = np.array(roi_align(jnp.array(fmap), rois, out_size=2))
     assert np.allclose(out[0], 5.0, atol=1e-5)
     assert np.allclose(out[1], 1.0, atol=1e-5)
+
+
+def test_matmul_equals_gather_formulation():
+    from vidsgg.ops.roi_align import roi_align_gather
+
+    rng = np.random.RandomState(3)
+    fmap = jnp.asarray(rng.randn(3, 12, 17, 32).astype(np.float32))
+    r = 20
+    x1y1 = rng.rand(r, 2).astype(np.float32) * 150
+    wh = rng.rand(r, 2).astype(np.float32) * 120 + 8
+    rois = np.concatenate(
+        [rng.randint(0, 3, (r, 1)).astype(np.float32), x1y1, x1y1 + wh], 1
+    )
+    a = np.asarray(roi_align(fmap, jnp.asarray(rois)))
+    b = np.asarray(roi_align_gather(fmap, jnp.asarray(rois)))
+    assert np.allclose(a, b, atol=2e-4), np.abs(a - b).max()

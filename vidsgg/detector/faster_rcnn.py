@@ -78,6 +78,7 @@ class FasterRCNN(nn.Module):
         pooled = roi_align(
             base_feat, rois5.reshape(-1, 5),
             out_size=C.ROI_ALIGN_OUT, spatial_scale=C.ROI_ALIGN_SCALE,
+            compute_dtype=None if self.dtype == jnp.float32 else self.dtype,
         )
         feats = self.head(pooled).reshape(b, n, -1)
         cls_prob = nn.softmax(self.cls_score(feats), axis=-1)

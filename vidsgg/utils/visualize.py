@@ -95,3 +95,59 @@ def draw_scene_graph(frame_bgr, pred: dict, frame_idx: int, out_path: str,
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, bbox_inches="tight", dpi=110)
     plt.close(fig)
+
+
+def tsne_contact_logits(pred: dict, out_path: str, perplexity: float = 15.0):
+    """t-SNE of contacting-head outputs colored by GT contact class
+    (reference Viz_TSNE in tools/utils/visualize.py; sklearn optional)."""
+    from sklearn.manifold import TSNE  # optional heavy import
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    con = np.asarray(pred["contacting_distribution"])
+    labels = np.array([int(np.asarray(l).reshape(-1)[0]) for l in pred["contacting_gt"]])
+    n = min(len(con), len(labels))
+    emb = TSNE(
+        n_components=2, perplexity=min(perplexity, max(2, n - 2)), init="random"
+    ).fit_transform(con[:n])
+    fig, ax = plt.subplots(figsize=(7, 6))
+    sc = ax.scatter(emb[:, 0], emb[:, 1], c=labels[:n], cmap="tab20", s=14)
+    fig.colorbar(sc, ax=ax, label="GT contacting class")
+    ax.set_title("t-SNE of contacting distributions")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight", dpi=110)
+    plt.close(fig)
+
+
+def gt_vs_pred_matrix(pred: dict, out_path: str):
+    """GT multi-hot vs predicted distribution heatmaps for the spatial and
+    contacting heads (reference Viz logit-matrix plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    spa = np.asarray(pred["spatial_distribution"])
+    con = np.asarray(pred["contacting_distribution"])
+    gt_s = np.zeros_like(spa)
+    gt_c = np.zeros_like(con)
+    for i, ls in enumerate(pred["spatial_gt"]):
+        gt_s[i, np.asarray(ls, int)] = 1.0
+    for i, ls in enumerate(pred["contacting_gt"]):
+        gt_c[i, np.asarray(ls, int)] = 1.0
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    for ax, (mat, title) in zip(
+        axes.ravel(),
+        [(gt_s, "spatial GT"), (spa, "spatial pred"),
+         (gt_c, "contacting GT"), (con, "contacting pred")],
+    ):
+        ax.imshow(mat, aspect="auto", cmap="viridis", vmin=0, vmax=1)
+        ax.set_title(title)
+        ax.set_xlabel("class")
+        ax.set_ylabel("pair")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
