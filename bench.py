@@ -106,25 +106,32 @@ def build():
                        jnp.asarray(1.0))
             )
         rel = relation_fwd(rel_vars, entry)
-        # NOTE: under the axon tunnel block_until_ready does not synchronize;
-        # force a host transfer to time real completion
-        return float(outs[-1]["scores"].sum()) + float(rel.sum())
+        return outs[-1]["scores"], rel
 
-    return run_video
+    def sync(out):
+        # under the axon tunnel block_until_ready does not synchronize; a
+        # host transfer does. One sync per measurement window (a per-call
+        # sync would add a ~25-30 ms tunnel round trip to every video).
+        s, rel = out
+        return float(s.sum()) + float(rel.sum())
+
+    return run_video, sync
 
 
 def main():
     video = np.random.RandomState(0).rand(NUM_CHUNKS, CHUNK, H, W, 3).astype(np.float32)
     video = jnp.asarray(video)
-    run_video = build()
+    run_video, sync = build()
 
     # warmup / compile
-    run_video(video)
+    sync(run_video(video))
 
-    n_iters = 5
+    n_iters = 10
     t0 = time.perf_counter()
+    out = None
     for _ in range(n_iters):
-        run_video(video)
+        out = run_video(video)
+    sync(out)
     dt = time.perf_counter() - t0
 
     frames_total = n_iters * MAX_FRAMES

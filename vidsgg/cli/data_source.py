@@ -116,3 +116,49 @@ def make_ag_source(
             print(f"[ag_source] skipped {skipped} over-capacity videos")
 
     return source
+
+
+def make_sgdet_source(
+    dataset,
+    entry_cap: EntryCapacity,
+    frontend,
+    is_train: bool = False,
+    shuffle: bool = True,
+    seed: int = 1123,
+    max_videos: int | None = None,
+):
+    """Full-detection source: raw frames -> SgdetFrontend -> (entry, fmaps, gt).
+
+    ``dataset`` provides gt_annotations + load_video_frames (ActionGenome).
+    The detector chunk shape is padded to /16 like the reference's blob.
+    """
+    rng = np.random.RandomState(seed)
+
+    def source():
+        n = len(dataset) if max_videos is None else min(max_videos, len(dataset))
+        order = rng.permutation(len(dataset))[:n] if shuffle else np.arange(n)
+        skipped = 0
+        for i in order:
+            ann = dataset.gt_annotations[i]
+            if len(ann) > entry_cap.max_frames:
+                skipped += 1
+                continue
+            frames, scale = dataset.load_video_frames(i)
+            f, h, w, _ = frames.shape
+            h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
+            pad = np.zeros((f, h16, w16, 3), np.float32)
+            pad[:, :h, :w] = frames
+            try:
+                entry, fmaps = frontend(
+                    jnp.asarray(pad), jnp.array([float(h16), float(w16)]),
+                    scale, gt_annotation=ann, is_train=is_train,
+                    video_size=(w / scale, h / scale),
+                )
+            except ValueError:  # over-capacity detections
+                skipped += 1
+                continue
+            yield entry, jnp.asarray(fmaps), ann
+        if skipped:
+            print(f"[sgdet_source] skipped {skipped} over-capacity videos")
+
+    return source

@@ -51,7 +51,9 @@ def main(argv=None):
 
         src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
     else:
-        from vidsgg.cli.data_source import make_ag_source
+        import jax.numpy as jnp
+
+        from vidsgg.cli.data_source import make_ag_source, make_sgdet_source
         from vidsgg.data.action_genome import ActionGenome
         from vidsgg.detector.faster_rcnn import FasterRCNN
 
@@ -63,14 +65,19 @@ def main(argv=None):
 
             det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
         else:
-            import jax.numpy as jnp
-
             det_vars = jax.jit(det.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
                 jnp.array([608.0, 1008.0]),
             )
-        src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
-                             max_videos=max_videos)
+        if cfg.mode == "sgdet":
+            from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            src = make_sgdet_source(ds, cap, frontend, shuffle=False,
+                                    max_videos=max_videos)
+        else:
+            src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
+                                 max_videos=max_videos)
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)
