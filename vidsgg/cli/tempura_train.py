@@ -24,10 +24,14 @@ from vidsgg.train.metrics import MetricsWriter
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic = 0
+    synthetic, resume = 0, None
     if "--synthetic" in argv:
         i = argv.index("--synthetic")
         synthetic = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        resume = argv[i + 1]
         del argv[i : i + 2]
     cfg = TempuraRunConfig.from_args(argv)
     print(f">>> TEMPURA train: mode={cfg.mode} synthetic={synthetic or 'off'}")
@@ -77,6 +81,17 @@ def main(argv=None):
     state = create_train_state(
         model, model_cfg, entry0, jax.random.PRNGKey(cfg.seed), tx
     )
+    if resume:
+        # proper train-resume (the reference ships it disabled behind
+        # ``if False:``, TEMPURA_train.py:79-83) — restores params,
+        # optimizer state, step, and memory banks
+        from vidsgg.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(resume, state, "best_recall")
+        print(f"resumed from {resume} at step {int(state.step)}")
+    from vidsgg.runtime.prefetch import prefetch
+
+    train_src = prefetch(train_src, depth=2)
     writer = MetricsWriter(cfg.save_path)
     loop_cfg = TrainLoopConfig(
         mode=cfg.mode,

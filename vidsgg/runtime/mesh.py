@@ -28,5 +28,22 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading axis sharded across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading axis sharded across the data axis (and the DCN axis when the
+    mesh is multi-slice — both axes partition the video batch)."""
+    axes = tuple(n for n in (DCN_AXIS, DATA_AXIS) if n in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
+
+
+DCN_AXIS = "dcn"
+
+
+def make_multislice_mesh(n_slices: int, devices=None) -> Mesh:
+    """2-D (dcn, data) mesh for multi-slice pods: the outer axis crosses the
+    data-center network, the inner axis rides ICI. Data parallelism shards
+    videos over both axes; gradient all-reduce then hierarchically reduces
+    within-slice over ICI before crossing DCN (XLA's default lowering for a
+    2-D mesh reduction)."""
+    devices = list(devices if devices is not None else jax.devices())
+    per_slice = len(devices) // n_slices
+    arr = np.array(devices[: n_slices * per_slice]).reshape(n_slices, per_slice)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS))

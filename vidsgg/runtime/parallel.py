@@ -86,3 +86,27 @@ def make_parallel_train_step(flags: LossFlags, mesh):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_parallel_eval_step(mesh):
+    """Data-parallel test-phase forward: a batch of featurized entries
+    sharded over the mesh, params replicated. Returns the distribution dict
+    batched on axis 0 (predcls; sgcls/sgdet eval interleaves host
+    postprocessing and stays per-video)."""
+    repl = replicate_sharding(mesh)
+    shard = data_sharding(mesh)
+
+    def step_fn(state: TrainState, batch: Entry):
+        def fwd(entry):
+            return state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                entry,
+                phase="test",
+                rel_memory=state.rel_memory,
+                obj_memory=state.obj_memory,
+                mem_active=state.mem_active,
+            )
+
+        return jax.vmap(fwd)(batch)
+
+    return jax.jit(step_fn, in_shardings=(repl, shard), out_shardings=shard)
