@@ -1,0 +1,83 @@
+"""Masked-correctness properties of the TokenGT encoder: growing the
+padding (node or edge capacity) must not change valid-token outputs, and
+edge-token *order* must not matter (attention over a set)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidsgg.models.tokengt import TokenGTEncoder
+
+D = 64
+
+
+def _problem(tn, te, n_valid, e_valid, seed=0):
+    rng = np.random.RandomState(seed)
+    node_data = rng.randn(1, tn, 32).astype(np.float32)
+    node_mask = np.arange(tn) < n_valid
+    node_data *= node_mask[None, :, None]
+    frame_idx = (rng.randint(0, 3, (1, tn)) * node_mask).astype(np.int32)
+    edge_index = rng.randint(0, n_valid, (1, te, 2)).astype(np.int32)
+    edge_type = rng.randint(0, 2, (1, te)).astype(np.int32)
+    edge_mask = np.arange(te) < e_valid
+    edge_index *= edge_mask[None, :, None]
+    edge_type *= edge_mask[None, :]
+    eig = rng.randn(1, tn, tn).astype(np.float32) * node_mask[None, :, None]
+    return (
+        jnp.asarray(node_data), jnp.asarray(node_mask[None]),
+        jnp.asarray(frame_idx), jnp.asarray(edge_index),
+        jnp.asarray(edge_type), jnp.asarray(edge_mask[None]), jnp.asarray(eig),
+    )
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    model = TokenGTEncoder(
+        num_atoms=32, num_output=26, embed_dim=D, layers=2, heads=4,
+        ffn_dim=D, lap_node_id_k=8,
+    )
+    args = _problem(6, 8, 5, 6)
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    return model, variables
+
+
+def test_padding_invariance(encoder):
+    model, variables = encoder
+    args_small = _problem(6, 8, 5, 6)
+    logits_s, hidden_s, _ = model.apply(variables, *args_small)
+
+    # same problem with double the padding
+    (nd, nm, fi, ei, et, em, eig) = args_small
+    tn2, te2 = 12, 20
+    nd2 = jnp.zeros((1, tn2, 32)).at[:, :6].set(nd)
+    nm2 = jnp.zeros((1, tn2), bool).at[:, :6].set(nm)
+    fi2 = jnp.zeros((1, tn2), jnp.int32).at[:, :6].set(fi)
+    ei2 = jnp.zeros((1, te2, 2), jnp.int32).at[:, :8].set(ei)
+    et2 = jnp.zeros((1, te2), jnp.int32).at[:, :8].set(et)
+    em2 = jnp.zeros((1, te2), bool).at[:, :8].set(em)
+    eig2 = jnp.zeros((1, tn2, tn2)).at[:, :6, :6].set(eig)
+    logits_l, hidden_l, _ = model.apply(variables, nd2, nm2, fi2, ei2, et2, em2, eig2)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_s)[0, :5], np.asarray(logits_l)[0, :5], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hidden_s)[0, :5], np.asarray(hidden_l)[0, :5], atol=1e-4
+    )
+    # padded node rows are zeroed
+    assert np.allclose(np.asarray(logits_l)[0, 6:], 0.0)
+
+
+def test_edge_order_invariance(encoder):
+    model, variables = encoder
+    args = _problem(6, 8, 5, 6, seed=3)
+    logits_a, _, _ = model.apply(variables, *args)
+    (nd, nm, fi, ei, et, em, eig) = args
+    perm = np.array([5, 2, 0, 4, 1, 3, 6, 7])  # permute valid edges (+pads)
+    logits_b, _, _ = model.apply(
+        variables, nd, nm, fi, ei[:, perm], et[:, perm], em[:, perm], eig
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_a)[0, :5], np.asarray(logits_b)[0, :5], atol=1e-4
+    )

@@ -65,6 +65,16 @@ def make_synthetic_source(
     return source
 
 
+def pick_bucket(buckets: list[EntryCapacity], f: int, nb: int, p: int):
+    """Smallest bucket covering a video (buckets sorted ascending); None if
+    none fits. Distinct buckets give distinct jit specializations, bounding
+    padding waste on short videos while still admitting long ones."""
+    for b in buckets:
+        if f <= b.max_frames and nb <= b.max_objs and p <= b.max_pairs:
+            return b
+    return None
+
+
 def make_ag_source(
     dataset,
     cap: EntryCapacity,
@@ -73,11 +83,13 @@ def make_ag_source(
     shuffle: bool = True,
     seed: int = 1123,
     max_videos: int | None = None,
+    buckets: list[EntryCapacity] | None = None,
 ):
     """Action Genome source (predcls/sgcls GT-box path).
 
-    Videos whose (frames, boxes, pairs) exceed ``cap`` are skipped with a
-    warning count — choose capacities from the dataset's distribution.
+    With ``buckets`` (ascending capacities), each video is padded to the
+    smallest covering bucket; otherwise everything uses ``cap`` and
+    over-capacity videos are skipped with a warning count.
     """
     base_fn = None
     head_fn = None
@@ -99,16 +111,22 @@ def make_ag_source(
         for i in order:
             ann = dataset.gt_annotations[i]
             f, nb, p = video_counts(ann)
-            if f > cap.max_frames or nb > cap.max_objs or p > cap.max_pairs:
+            vid_cap = (
+                pick_bucket(buckets, f, nb, p)
+                if buckets
+                else (cap if (f <= cap.max_frames and nb <= cap.max_objs
+                              and p <= cap.max_pairs) else None)
+            )
+            if vid_cap is None:
                 skipped += 1
                 continue
             frames, scale = dataset.load_video_frames(i)
             pad_f = np.zeros(
-                (cap.max_frames,) + frames.shape[1:], np.float32
+                (vid_cap.max_frames,) + frames.shape[1:], np.float32
             )
             pad_f[: frames.shape[0]] = frames
             fmaps = base_fn(detector_variables, jnp.asarray(pad_f))
-            entry = build_gt_entry(ann, cap)
+            entry = build_gt_entry(ann, vid_cap)
             entry = entry.replace(im_scale=jnp.float32(scale))
             entry = featurize(entry, fmaps)
             yield entry, fmaps, ann

@@ -33,6 +33,13 @@ class ActionGenome:
         self.data_path = data_path
         self.frames_path = os.path.join(data_path, "frames/")
 
+        try:  # opportunistic native fast path for frame preprocessing
+            from vidsgg.data import native
+
+            native.build()
+        except Exception:
+            pass
+
         # class lists from the dataset when available, constants otherwise
         obj_file = os.path.join(data_path, "annotations/object_classes.txt")
         rel_file = os.path.join(data_path, "annotations/relationship_classes.txt")
