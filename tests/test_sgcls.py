@@ -90,3 +90,20 @@ def test_sgcls_eval_outputs_are_wellformed(sgcls_setup):
     assert (pred["pred_labels"] >= 1).all() and (pred["pred_labels"] <= 36).all()
     assert (pred["pred_scores"] >= 0).all() and (pred["pred_scores"] <= 1).all()
     assert len(pred["spatial_gt"]) == int(np.asarray(entry.pair_mask).sum())
+
+
+def test_fused_device_pipeline_matches_host(sgcls_setup):
+    ann, entry, fmaps, _, state = sgcls_setup
+    host = EvalPipeline("sgcls", CAP, device_postprocess=False)
+    dev = EvalPipeline("sgcls", CAP, device_postprocess=True)
+    ph = host(state, entry, fmaps, gt_entry=entry)
+    pd = dev(state, entry, fmaps, gt_entry=entry)
+    n = len(ph["pred_labels"])
+    np.testing.assert_array_equal(pd["pred_labels"][:n], ph["pred_labels"])
+    np.testing.assert_array_equal(pd["pair_idx"], ph["pair_idx"])
+    np.testing.assert_allclose(
+        pd["attention_distribution"], ph["attention_distribution"], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        pd["contacting_distribution"], ph["contacting_distribution"], atol=2e-4
+    )

@@ -67,9 +67,39 @@ def _relation_stage_no_union(state: TrainState, entry: Entry, obj_mem_features, 
     return entry, out
 
 
+def _sgcls_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
+    """Whole sgcls test step as ONE jit region: OSPU classify -> on-device
+    relabel/dedup/pair rebuild -> union refeaturize -> relation forward."""
+    from vidsgg.models.postprocess_device import sgcls_postprocess_device
+
+    aux = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry,
+        phase="test",
+        obj_memory=state.obj_memory,
+        mem_active=state.mem_active,
+        method="classify_objects",
+    )
+    entry2 = sgcls_postprocess_device(entry, aux["distribution"])
+    if needs_union:
+        union_feat, _, spatial_masks = pair_union_features(entry2, fmaps)
+        entry2 = entry2.replace(union_feat=union_feat, spatial_masks=spatial_masks)
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry2,
+        aux.get("object_mem_features"),
+        phase="test",
+        rel_memory=state.rel_memory,
+        mem_active=state.mem_active,
+        method="relation_forward",
+    )
+    return entry2, out
+
+
 classify_stage = jax.jit(_classify_stage)
 relation_stage = jax.jit(_relation_stage)
 relation_stage_no_union = jax.jit(_relation_stage_no_union)
+sgcls_fused_stage = jax.jit(_sgcls_fused, static_argnums=(3,))
 
 
 def _pad_rows(arr: np.ndarray, cap: int) -> np.ndarray:
@@ -119,6 +149,7 @@ class EvalPipeline:
     mode: str
     cap: EntryCapacity
     needs_union: bool = True  # False for TEAT-GT (no union visual stream)
+    device_postprocess: bool = True  # sgcls relabeling fused into one jit
 
     def __call__(self, state: TrainState, entry: Entry, fmaps, gt_entry: Entry | None = None):
         """Run test-time inference for one video.
@@ -142,6 +173,11 @@ class EvalPipeline:
                 mem_active=state.mem_active,
             )
             return to_eval_pred(entry, out, "predcls")
+
+        if self.mode == "sgcls" and self.device_postprocess:
+            entry2, out = sgcls_fused_stage(state, entry, fmaps, self.needs_union)
+            pred = to_eval_pred(entry2, out, self.mode)
+            return self._attach_gt(pred, gt_entry)
 
         aux = _classify_jit(state, entry)
         n = int(np.asarray(entry.obj_mask).sum())
@@ -171,23 +207,28 @@ class EvalPipeline:
         stage = relation_stage if self.needs_union else relation_stage_no_union
         entry2, out = stage(state, entry2, mem, fmaps)
         pred = to_eval_pred(entry2, out, self.mode)
-        if gt_entry is not None:
-            # the temporal-consistency metric reads the GT predicate lists in
-            # the *original* GT pair order (the reference keeps them from the
-            # detector entry even after pairs are rebuilt,
-            # lib/tempura.py:302-316 + temporal_consistency.py:34-37)
-            pgt = int(np.asarray(gt_entry.pair_mask).sum())
-            pred["attention_gt"] = [
-                [int(x)] for x in np.asarray(gt_entry.attention_gt)[:pgt]
-            ]
-            pred["spatial_gt"] = [
-                np.where(r > 0)[0].tolist()
-                for r in np.asarray(gt_entry.spatial_gt)[:pgt]
-            ]
-            pred["contacting_gt"] = [
-                np.where(r > 0)[0].tolist()
-                for r in np.asarray(gt_entry.contacting_gt)[:pgt]
-            ]
+        return self._attach_gt(pred, gt_entry)
+
+    @staticmethod
+    def _attach_gt(pred, gt_entry):
+        """The temporal-consistency metric reads the GT predicate lists in
+        the *original* GT pair order (the reference keeps them from the
+        detector entry even after pairs are rebuilt, lib/tempura.py:302-316
+        + temporal_consistency.py:34-37)."""
+        if gt_entry is None:
+            return pred
+        pgt = int(np.asarray(gt_entry.pair_mask).sum())
+        pred["attention_gt"] = [
+            [int(x)] for x in np.asarray(gt_entry.attention_gt)[:pgt]
+        ]
+        pred["spatial_gt"] = [
+            np.where(r > 0)[0].tolist()
+            for r in np.asarray(gt_entry.spatial_gt)[:pgt]
+        ]
+        pred["contacting_gt"] = [
+            np.where(r > 0)[0].tolist()
+            for r in np.asarray(gt_entry.contacting_gt)[:pgt]
+        ]
         return pred
 
 
