@@ -64,6 +64,7 @@ def test_reference_style_command_lines_parse():
         "vidsgg.cli.tempura_test",
         "vidsgg.cli.tempura_evaluate",
         "vidsgg.cli.teatgt_train",
+        "vidsgg.cli.teatgt_evaluate",
         "vidsgg.cli.teatgt_test",
         "vidsgg.cli.kcc_demo",
     ],

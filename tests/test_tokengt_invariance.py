@@ -126,3 +126,37 @@ def test_reference_padding_idx_quirks(encoder):
     pert = model.apply({"params": p4}, args[0], args[1], jnp.asarray(fi),
                        args[3], jnp.asarray(et), args[5], args[6])[0]
     assert not np.allclose(np.asarray(base), np.asarray(pert), atol=1e-5)
+
+
+def test_alternative_node_ids_and_performer():
+    """ORF/random node identifiers and the FAVOR+ attention backend
+    (reference's dead-by-default config paths) run and stay finite."""
+    args = _problem(6, 8, 5, 6, seed=7)
+    for mode in ("orf", "rand"):
+        m = TokenGTEncoder(
+            num_atoms=32, num_output=26, embed_dim=D, layers=1, heads=4,
+            ffn_dim=D, lap_node_id_k=8, node_id_mode=mode,
+        )
+        v = m.init(jax.random.PRNGKey(0), *args)
+        logits, hidden, _ = m.apply(v, *args)
+        assert np.isfinite(np.asarray(logits)).all(), mode
+        assert np.allclose(np.asarray(logits)[0, 5:], 0.0)
+
+    mp = TokenGTEncoder(
+        num_atoms=32, num_output=26, embed_dim=D, layers=2, heads=4,
+        ffn_dim=D, lap_node_id_k=8, performer=True, performer_nb_features=64,
+    )
+    v = mp.init(jax.random.PRNGKey(1), *args)
+    logits, hidden, _ = mp.apply(v, *args)
+    assert "performer" in v
+    assert np.isfinite(np.asarray(logits)).all()
+    # masked (padding) keys must not influence valid outputs: grow padding
+    (nd, nm, fi, ei, et, em, eig) = args
+    nd2 = jnp.concatenate([nd, jnp.ones((1, 3, 32)) * 50.0], axis=1)
+    nm2 = jnp.concatenate([nm, jnp.zeros((1, 3), bool)], axis=1)
+    fi2 = jnp.concatenate([fi, jnp.zeros((1, 3), jnp.int32)], axis=1)
+    eig2 = jnp.zeros((1, 9, 9)).at[:, :6, :6].set(eig)
+    logits2, _, _ = mp.apply(v, nd2, nm2, fi2, ei, et, em, eig2)
+    np.testing.assert_allclose(
+        np.asarray(logits)[0, :5], np.asarray(logits2)[0, :5], atol=1e-4
+    )

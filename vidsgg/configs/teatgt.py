@@ -106,6 +106,10 @@ class TeatGTRunConfig:
             lap_node_id_k=self.lap_node_id_k,
             lap_node_id_sign_flip=self.lap_node_id_sign_flip,
             lap_node_id_eig_dropout=self.lap_node_id_eig_dropout,
+            node_id_mode=(
+                "rand" if self.rand_node_id
+                else "orf" if self.orf_node_id else "lap"
+            ),
             caps=caps or ClipCaps(),
         )
 

@@ -69,6 +69,9 @@ class TeatGTConfig:
     lap_node_id_k: int = 50
     lap_node_id_sign_flip: bool = True
     lap_node_id_eig_dropout: float = 0.2
+    node_id_mode: str = "lap"   # 'lap' | 'orf' | 'rand'
+    performer: bool = False
+    performer_nb_features: int = 256
     spatial_thr: float = 0.5
     sim_thr: float = 0.75
     reg_lap_k: int = 10
@@ -115,6 +118,9 @@ class TeatGT(nn.Module):
             lap_node_id_k=cfg.lap_node_id_k,
             lap_sign_flip=cfg.lap_node_id_sign_flip,
             lap_eig_dropout=cfg.lap_node_id_eig_dropout,
+            node_id_mode=cfg.node_id_mode,
+            performer=cfg.performer,
+            performer_nb_features=cfg.performer_nb_features,
         )
         self.gat = GraphTransformer(dim=cfg.reg_lap_k, max_nodes=cfg.caps.tokens_per_frame)
         self.gat_semantic = GraphTransformer(

@@ -38,6 +38,39 @@ import jax
 import jax.numpy as jnp
 
 from vidsgg.models.attention import MultiheadAttention
+from vidsgg.models.performer import favor_attention, gaussian_orthogonal_random_matrix
+
+
+class MultiheadPerformerAttention(nn.Module):
+    """FAVOR+ linear-attention drop-in for the self-attention site
+    (modules/multihead_performer_attention.py). The random feature
+    projection lives in the non-trainable 'performer' collection (the
+    reference's ProjectionUpdater redraw = re-initializing it)."""
+
+    embed_dim: int
+    num_heads: int
+    nb_features: int = 256
+
+    @nn.compact
+    def __call__(self, x, key_mask, deterministic=True):
+        d, h = self.embed_dim, self.num_heads
+        hd = d // h
+
+        def split(t):
+            return t.reshape(t.shape[:-1] + (h, hd)).swapaxes(-3, -2)
+
+        q = split(nn.Dense(d, name="q_proj")(x))
+        k = split(nn.Dense(d, name="k_proj")(x))
+        v = split(nn.Dense(d, name="v_proj")(x))
+        proj = self.variable(
+            "performer", "projection",
+            lambda: gaussian_orthogonal_random_matrix(
+                jax.random.PRNGKey(0), self.nb_features, hd
+            )[0],
+        )
+        out = favor_attention(q, k, v, key_mask[..., None, :], proj.value)
+        out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (d,))
+        return nn.Dense(d, name="out_proj")(out)
 
 
 class TokenGTLayer(nn.Module):
@@ -49,13 +82,20 @@ class TokenGTLayer(nn.Module):
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
+    performer: bool = False
+    performer_nb_features: int = 256
 
     @nn.compact
-    def __call__(self, x, attn_mask, deterministic=True):
+    def __call__(self, x, attn_mask, deterministic=True, key_mask=None):
         h = nn.LayerNorm()(x)
-        h = MultiheadAttention(self.embed_dim, self.num_heads, self.attention_dropout)(
-            h, h, h, attn_mask, deterministic
-        )
+        if self.performer:
+            h = MultiheadPerformerAttention(
+                self.embed_dim, self.num_heads, self.performer_nb_features
+            )(h, key_mask, deterministic)
+        else:
+            h = MultiheadAttention(
+                self.embed_dim, self.num_heads, self.attention_dropout
+            )(h, h, h, attn_mask, deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm()(x)
@@ -93,6 +133,9 @@ class TokenGTEncoder(nn.Module):
     lap_sign_flip: bool = True
     lap_eig_dropout: float = 0.2
     dropout: float = 0.1
+    node_id_mode: str = "lap"   # 'lap' | 'orf' | 'rand' (tokenizer.py:257-287)
+    performer: bool = False
+    performer_nb_features: int = 256
 
     @nn.compact
     def __call__(
@@ -124,17 +167,32 @@ class TokenGTEncoder(nn.Module):
         )
         edge_feat = edge_table[edge_type] * (edge_type != 0)[..., None]
 
-        # --- Laplacian node identifiers ---
+        # --- node identifiers: Laplacian (default) / ORF / random ---
         k = self.lap_node_id_k
-        eig = lap_eigvec[..., : min(k, lap_eigvec.shape[-1])]
-        if eig.shape[-1] < k:
-            eig = jnp.pad(eig, ((0, 0), (0, 0), (0, k - eig.shape[-1])))
-        if self.lap_eig_dropout > 0:
-            eig = nn.Dropout(self.lap_eig_dropout)(eig, deterministic=deterministic)
-        if self.lap_sign_flip and not deterministic:
-            rng = self.make_rng("dropout")
-            flip = jnp.where(jax.random.uniform(rng, (b, 1, k)) >= 0.5, 1.0, -1.0)
-            eig = eig * flip
+        if self.node_id_mode == "rand":
+            # tokenizer.py:257-261: uniform ids, L2-normalized, fresh each call
+            # (fixed key at eval so inference is deterministic)
+            rng = self.make_rng("dropout") if not deterministic else jax.random.PRNGKey(0)
+            ids = jax.random.uniform(rng, (b, tn, k))
+            eig = ids * jax.lax.rsqrt((ids * ids).sum(-1, keepdims=True) + 1e-12)
+        elif self.node_id_mode == "orf":
+            # tokenizer.py:263-275: orthogonal random features per graph
+            rng = self.make_rng("dropout") if not deterministic else jax.random.PRNGKey(0)
+            orf = gaussian_orthogonal_random_matrix(rng, tn, tn, batch=b)
+            if tn < k:
+                orf = jnp.pad(orf, ((0, 0), (0, 0), (0, k - tn)))
+            ids = orf[..., :k]
+            eig = ids * jax.lax.rsqrt((ids * ids).sum(-1, keepdims=True) + 1e-12)
+        else:
+            eig = lap_eigvec[..., : min(k, lap_eigvec.shape[-1])]
+            if eig.shape[-1] < k:
+                eig = jnp.pad(eig, ((0, 0), (0, 0), (0, k - eig.shape[-1])))
+            if self.lap_eig_dropout > 0:
+                eig = nn.Dropout(self.lap_eig_dropout)(eig, deterministic=deterministic)
+            if self.lap_sign_flip and not deterministic:
+                rng = self.make_rng("dropout")
+                flip = jnp.where(jax.random.uniform(rng, (b, 1, k)) >= 0.5, 1.0, -1.0)
+                eig = eig * flip
         # token identifier [id_u ; id_v]: nodes use (i, i), edges (u, v)
         node_id_pairs = jnp.concatenate([eig, eig], axis=-1)  # [B, Tn, 2k]
         eig_u = eig[batch_ix, edge_index[..., 0]]
@@ -169,8 +227,10 @@ class TokenGTEncoder(nn.Module):
         for i in range(self.layers):
             seq = TokenGTLayer(
                 d, self.heads, self.ffn_dim, self.dropout,
+                performer=self.performer,
+                performer_nb_features=self.performer_nb_features,
                 name=f"layer_{i}",
-            )(seq, attn_mask, deterministic)
+            )(seq, attn_mask, deterministic, key_mask=seq_mask)
 
         # --- LM head ---
         h = nn.Dense(d, name="lm_head_transform_weight")(seq)
