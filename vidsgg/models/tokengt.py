@@ -43,13 +43,15 @@ from vidsgg.models.performer import favor_attention, gaussian_orthogonal_random_
 
 class MultiheadPerformerAttention(nn.Module):
     """FAVOR+ linear-attention drop-in for the self-attention site
-    (modules/multihead_performer_attention.py). The random feature
-    projection lives in the non-trainable 'performer' collection (the
-    reference's ProjectionUpdater redraw = re-initializing it)."""
+    (modules/multihead_performer_attention.py). The random-feature
+    projection is regenerated deterministically from ``proj_seed`` (a
+    compile-time constant, folded by XLA); the reference's
+    ProjectionUpdater redraw corresponds to bumping the seed."""
 
     embed_dim: int
     num_heads: int
     nb_features: int = 256
+    proj_seed: int = 0
 
     @nn.compact
     def __call__(self, x, key_mask, deterministic=True):
@@ -62,13 +64,10 @@ class MultiheadPerformerAttention(nn.Module):
         q = split(nn.Dense(d, name="q_proj")(x))
         k = split(nn.Dense(d, name="k_proj")(x))
         v = split(nn.Dense(d, name="v_proj")(x))
-        proj = self.variable(
-            "performer", "projection",
-            lambda: gaussian_orthogonal_random_matrix(
-                jax.random.PRNGKey(0), self.nb_features, hd
-            )[0],
-        )
-        out = favor_attention(q, k, v, key_mask[..., None, :], proj.value)
+        proj = gaussian_orthogonal_random_matrix(
+            jax.random.PRNGKey(self.proj_seed), self.nb_features, hd
+        )[0]
+        out = favor_attention(q, k, v, key_mask[..., None, :], proj)
         out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (d,))
         return nn.Dense(d, name="out_proj")(out)
 
