@@ -52,3 +52,102 @@ def test_matmul_equals_gather_formulation():
     a = np.asarray(roi_align(fmap, jnp.asarray(rois)))
     b = np.asarray(roi_align_gather(fmap, jnp.asarray(rois)))
     assert np.allclose(a, b, atol=2e-4), np.abs(a - b).max()
+
+
+# ---------------------------------------------------------------------------
+# sampling_ratio=0 (adaptive) golden tests: oracle is a direct NumPy
+# transcription of the torchvision/Caffe2 ROIAlign CPU kernel
+# (aligned=False), the semantics behind the reference's CUDA op at
+# lib/tempura.py:72 (output 7x7, scale 1/16, sampling_ratio 0).
+# ---------------------------------------------------------------------------
+
+
+def _bilinear(f, y, x):
+    h, w, _ = f.shape
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(f.shape[-1])
+    y, x = max(y, 0.0), max(x, 0.0)
+    y0, x0 = int(y), int(x)
+    y1, x1 = y0 + 1, x0 + 1
+    if y0 >= h - 1:
+        y0 = y1 = h - 1
+        y = float(y0)
+    if x0 >= w - 1:
+        x0 = x1 = w - 1
+        x = float(x0)
+    ly, lx = y - y0, x - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+    return (
+        hy * hx * f[y0, x0]
+        + hy * lx * f[y0, x1]
+        + ly * hx * f[y1, x0]
+        + ly * lx * f[y1, x1]
+    )
+
+
+def _oracle_roi_align(fmap, rois, out, scale, sampling_ratio=0):
+    B, H, W, C = fmap.shape
+    res = np.zeros((len(rois), out, out, C), np.float32)
+    for r, (b, rx1, ry1, rx2, ry2) in enumerate(rois):
+        b = int(b)
+        x1, y1, x2, y2 = rx1 * scale, ry1 * scale, rx2 * scale, ry2 * scale
+        bw = max(x2 - x1, 1.0) / out
+        bh = max(y2 - y1, 1.0) / out
+        gy = sampling_ratio if sampling_ratio > 0 else int(np.ceil(bh))
+        gx = sampling_ratio if sampling_ratio > 0 else int(np.ceil(bw))
+        count = max(gy * gx, 1)
+        for ph in range(out):
+            for pw in range(out):
+                acc = np.zeros(C, np.float64)
+                for iy in range(gy):
+                    y = y1 + ph * bh + (iy + 0.5) * bh / gy
+                    for ix in range(gx):
+                        x = x1 + pw * bw + (ix + 0.5) * bw / gx
+                        acc += _bilinear(fmap[b], y, x)
+                res[r, ph, pw] = acc / count
+    return res
+
+
+def _random_rois(rng, n, b, max_xy=900.0):
+    x1y1 = rng.rand(n, 2).astype(np.float32) * (max_xy * 0.6)
+    # widths spanning tiny (adaptive g=1) to near-full-image (g ~ 8-10)
+    wh = rng.rand(n, 2).astype(np.float32) ** 2 * (max_xy - x1y1.max(1, keepdims=True))
+    wh = np.maximum(wh, 4.0)
+    bi = rng.randint(0, b, (n, 1)).astype(np.float32)
+    return np.concatenate([bi, x1y1, np.minimum(x1y1 + wh, max_xy)], 1)
+
+
+def test_adaptive_sampling_matches_torchvision_oracle():
+    rng = np.random.RandomState(11)
+    fmap = rng.randn(2, 38, 57, 6).astype(np.float32)  # AG-scale /16 map
+    rois = _random_rois(rng, 24, 2, max_xy=57 * 16.0)
+    want = _oracle_roi_align(fmap, rois, out=7, scale=1.0 / 16.0)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois)))
+    assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+    got_g = np.asarray(
+        __import__("vidsgg.ops.roi_align", fromlist=["roi_align_gather"])
+        .roi_align_gather(jnp.asarray(fmap), jnp.asarray(rois))
+    )
+    assert np.allclose(got_g, want, atol=3e-4), np.abs(got_g - want).max()
+
+
+def test_adaptive_full_image_union_box():
+    # a union box covering the whole image exercises the largest adaptive
+    # sample counts (ceil(bin) ~ H/16/7 and W/16/7)
+    rng = np.random.RandomState(5)
+    fmap = rng.randn(1, 44, 70, 3).astype(np.float32)
+    rois = np.array([[0.0, 0.0, 0.0, 70 * 16.0, 44 * 16.0]], np.float32)
+    want = _oracle_roi_align(fmap, rois, out=7, scale=1.0 / 16.0)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois)))
+    assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+
+
+def test_static_sampling_ratio_matches_oracle():
+    rng = np.random.RandomState(7)
+    fmap = rng.randn(2, 20, 25, 4).astype(np.float32)
+    rois = _random_rois(rng, 12, 2, max_xy=25 * 16.0)
+    want = _oracle_roi_align(fmap, rois, out=5, scale=1.0 / 16.0, sampling_ratio=2)
+    got = np.asarray(
+        roi_align(jnp.asarray(fmap), jnp.asarray(rois), out_size=5, sampling_ratio=2)
+    )
+    assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()

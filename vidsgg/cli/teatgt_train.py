@@ -56,12 +56,31 @@ def main(argv=None):
         test_ds = ActionGenome("test", cfg.datasize, cfg.data_path,
                                filter_small_box=cfg.mode != "predcls")
         det = FasterRCNN()
-        det_vars = jax.jit(det.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
-            jnp.array([608.0, 1008.0]),
-        )
-        train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
-        val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+        if getattr(cfg, "model_path", None):
+            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
+        else:
+            det_vars = jax.jit(det.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
+                jnp.array([608.0, 1008.0]),
+            )
+            print("WARNING: no detector checkpoint; random detector weights")
+        if cfg.mode == "sgdet":
+            # detector boxes + GT assignment + SUPPLY for training (the
+            # reference trains sgdet through the detector front-end,
+            # object_detector.py:57-302)
+            from vidsgg.cli.data_source import make_sgdet_source
+            from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            train_src = make_sgdet_source(
+                train_ds, cap, frontend, is_train=True, seed=cfg.seed
+            )
+            val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False)
+        else:
+            train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
+            val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
         steps_per_epoch = len(train_ds)
 
     model_cfg = cfg.model_config(clips)

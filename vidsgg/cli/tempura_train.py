@@ -68,8 +68,21 @@ def main(argv=None):
                 jnp.array([608.0, 1008.0]),
             )
             print("WARNING: no detector checkpoint; random detector weights")
-        train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
-        val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+        if cfg.mode == "sgdet":
+            # full-detection training: detector boxes + IoU GT assignment +
+            # SUPPLY (object_detector.py:57-302, consumed at
+            # TEMPURA_train.py:160-161) — NOT the GT-box featurization
+            from vidsgg.cli.data_source import make_sgdet_source
+            from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            train_src = make_sgdet_source(
+                train_ds, cap, frontend, is_train=True, seed=cfg.seed
+            )
+            val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False)
+        else:
+            train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
+            val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
         steps_per_epoch = len(train_ds)
 
     model_cfg = cfg.model_config()

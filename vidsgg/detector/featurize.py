@@ -55,6 +55,14 @@ def pair_union_features(
     return union_feat, union_boxes, spatial_masks
 
 
+def featurize_pair_entry(entry: Entry, fmaps: jnp.ndarray) -> Entry:
+    """Fill union_feat / spatial_masks of an entry whose boxes, pairs and
+    per-object features are already set (the sgdet train path: detector
+    boxes + SUPPLY, pairs from GT relations — object_detector.py:254-279)."""
+    union_feat, _, spatial_masks = pair_union_features(entry, fmaps)
+    return entry.replace(union_feat=union_feat, spatial_masks=spatial_masks)
+
+
 def featurize_gt_entry(
     entry: Entry,
     fmaps: jnp.ndarray,

@@ -40,6 +40,11 @@ NMS_THRESH = 0.4
 @dataclasses.dataclass(frozen=True)
 class SgdetCaps:
     dets_per_frame: int = 16
+    # fixed video-wide capacity for SUPPLY re-pooled GT boxes: the supply
+    # jit compiles ONCE per base-feat shape instead of once per ragged
+    # per-frame roi count (the reference re-pools per frame,
+    # object_detector.py:206-210)
+    supply_cap: int = 64
 
 
 def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
@@ -182,6 +187,9 @@ class SgdetFrontend:
         self.detect = make_detect_fn(model, caps)
         self.supply = make_supply_fn(model)
         self.class_score = make_class_score_fn(model)
+        from vidsgg.detector.featurize import featurize_pair_entry
+
+        self.pair_featurize = jax.jit(featurize_pair_entry)
 
     def __call__(self, frames, im_hw, im_scale, gt_annotation=None,
                  is_train=False, video_size=(600.0, 400.0)):
@@ -195,10 +203,15 @@ class SgdetFrontend:
 
         if is_train:
             assert gt_annotation is not None
-            return self._train_entry(
+            entry, base_feat = self._train_entry(
                 dets, frame_boxes, frame_feats, frame_scores, frame_labels,
                 gt_annotation, im_scale, video_size,
             )
+            # union visual stream for the GT-derived pairs (the reference
+            # builds union features inside the detector for train,
+            # object_detector.py:254-279)
+            entry = self.pair_featurize(entry, jnp.asarray(base_feat))
+            return entry, base_feat
         return self._test_entry(
             dets, frame_boxes, frame_feats, frame_scores, im_scale, video_size
         )
@@ -281,6 +294,7 @@ class SgdetFrontend:
         f = len(frame_boxes)
         boxes, labels, scores, feats = [], [], [], []
         frame_offset = []
+        sup_rois, sup_slots = [], []  # one padded supply() call per video
         for i in range(f):
             frame_offset.append(len(boxes))
             nb = len(frame_boxes[i])
@@ -291,9 +305,9 @@ class SgdetFrontend:
                 labels.append(al)
                 scores.append(sc)
                 feats.append(ft)
-            # SUPPLY: append undetected GT boxes with unit scores
+            # SUPPLY: append undetected GT boxes with unit scores; features
+            # are re-pooled in one fixed-capacity batch after the loop
             if supply[i]:
-                sup_boxes = []
                 for item in supply[i]:
                     bb = (
                         np.asarray(item["person_bbox"]).reshape(-1)[:4]
@@ -301,22 +315,33 @@ class SgdetFrontend:
                         else np.asarray(item["bbox"], np.float32)
                     )
                     cls = 1 if "person_bbox" in item else int(item["class"])
-                    sup_boxes.append(bb)
                     boxes.append(np.concatenate([[i], bb]))
                     labels.append(cls)
                     scores.append(1.0)
+                    sup_rois.append(
+                        np.concatenate([[i], np.asarray(bb, np.float32) * im_scale])
+                    )
+                    sup_slots.append(len(feats))
+                    feats.append(None)
                 found[i] = list(found[i]) + list(
                     range(nb, nb + len(supply[i]))
                 )
                 gts[i] = list(gts[i]) + list(supply[i])
-                rois = np.concatenate(
-                    [np.full((len(sup_boxes), 1), i, np.float32),
-                     np.asarray(sup_boxes, np.float32) * im_scale], axis=1
+
+        if sup_rois:
+            k = len(sup_rois)
+            if k > self.caps.supply_cap:
+                raise ValueError(
+                    f"sgdet video needs {k} SUPPLY boxes > cap {self.caps.supply_cap}"
                 )
-                sup_feats, _ = self.supply(
-                    self.variables, jnp.asarray(dets["base_feat"]), jnp.asarray(rois)
-                )
-                feats.extend(np.asarray(sup_feats))
+            rois_pad = np.zeros((self.caps.supply_cap, 5), np.float32)
+            rois_pad[:k] = np.asarray(sup_rois, np.float32)
+            sup_feats, _ = self.supply(
+                self.variables, jnp.asarray(dets["base_feat"]), jnp.asarray(rois_pad)
+            )
+            sup_feats = np.asarray(sup_feats)[:k]
+            for slot, ftr in zip(sup_slots, sup_feats):
+                feats[slot] = ftr
 
         boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
         labels = np.asarray(labels, np.int64)

@@ -8,9 +8,13 @@ Semantics follow the torchvision/jwyang ROIAlign (aligned=False): roi
 coordinates are scaled into feature-map space, each output bin is sampled at
 a regular sub-grid of points, each point bilinearly interpolated, and the
 samples averaged. The reference's ``sampling_ratio=0`` adaptively chooses
-ceil(bin_size) samples per bin — a data-dependent shape that XLA cannot
-compile — so this implementation uses a static ``sampling_ratio`` (default
-2, the torchvision convention).
+ceil(bin_size) samples per bin — a data-dependent *count*, but not a
+data-dependent *shape*: the sample count only changes the interpolation
+weights, so it compiles statically by computing weight rows under a static
+``max_samples`` bound with per-roi masking (slots beyond the roi's adaptive
+count contribute zero weight, and the average divides by the true count).
+``sampling_ratio=0`` (adaptive, exact reference semantics) is the default;
+a positive value gives the static torchvision-style grid.
 
 TPU-native algorithm — **interpolation as matmul**: bilinear pooling is
 separable, so each roi's output is
@@ -38,17 +42,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _interp_matrix(starts, bin_sizes, out_size, s, dim):
+def _interp_matrix(starts, bin_sizes, out_size, s, dim, grid=None):
     """Average-of-samples bilinear interpolation rows.
 
     starts/bin_sizes: [K] roi starts and bin sizes (feature coords).
+    grid: optional [K] per-roi adaptive sample counts in [1, s]
+      (``sampling_ratio=0`` semantics); sample slots >= grid[k] are masked
+      out and the average divides by grid[k] instead of s.
     Returns [K, out_size, dim] weights.
     """
-    offs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    slot = jnp.arange(s, dtype=jnp.float32)
+    if grid is None:
+        offs = ((slot + 0.5) / s)[None, :]            # [1, s]
+        slot_valid = jnp.ones((1, s), jnp.float32)
+        denom = jnp.float32(s)
+    else:
+        g = grid.astype(jnp.float32)[:, None]          # [K, 1]
+        offs = (slot[None, :] + 0.5) / g               # [K, s]
+        slot_valid = (slot[None, :] < g).astype(jnp.float32)
+        denom = g[..., None]                           # [K, 1, 1] after sum
     # sample positions: [K, out, s]
     pos = (
         starts[:, None, None]
-        + (jnp.arange(out_size, dtype=jnp.float32)[None, :, None] + offs[None, None, :])
+        + (jnp.arange(out_size, dtype=jnp.float32)[None, :, None] + offs[:, None, :])
         * bin_sizes[:, None, None]
     )
     valid = (pos >= -1.0) & (pos <= dim)
@@ -64,27 +80,36 @@ def _interp_matrix(starts, bin_sizes, out_size, s, dim):
     w1 = (idx[None, None, None, :] == p1[..., None]).astype(jnp.float32) * frac[
         ..., None
     ]
-    w = (w0 + w1) * valid[..., None]
-    return w.mean(axis=2)  # average the s samples -> [K, out, dim]
+    w = (w0 + w1) * valid[..., None] * slot_valid[:, None, :, None]
+    return w.sum(axis=2) / denom  # average the samples -> [K, out, dim]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def roi_align(
     features: jnp.ndarray,
     rois: jnp.ndarray,
     out_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     chunk_size: int = 128,
     compute_dtype=None,
+    max_samples: int = 16,
 ) -> jnp.ndarray:
     """ROIAlign via separable interpolation matmuls.
 
     Args:
       features: [B, H, W, C] feature maps (NHWC).
       rois: [R, 5] rows of (batch_idx, x1, y1, x2, y2) in input-image scale.
+      sampling_ratio: >0 for a static torchvision-style sample grid; 0 for
+        the reference's adaptive ceil(bin_size)-samples-per-bin semantics
+        (lib/tempura.py:72), realized as masked weights under the static
+        ``max_samples`` bound.
       compute_dtype: optional matmul dtype (bf16 halves HBM traffic on the
         big intermediate; interpolation weights lose ~3 decimal digits).
+      max_samples: static per-axis bound on the adaptive sample count; rois
+        whose bins would need more samples are clamped (exact up to feature
+        maps of ~max_samples*out_size on a side — 112 at the defaults, well
+        past AG's /16 maps).
     Returns: [R, out_size, out_size, C] in the features dtype.
     """
     b, h, w, c = features.shape
@@ -111,8 +136,14 @@ def roi_align(
         bin_w = jnp.maximum(x2 - x1, 1.0) / m
         bin_h = jnp.maximum(y2 - y1, 1.0) / m
 
-        ay = _interp_matrix(y1, bin_h, m, s, h)  # [K, m, H]
-        ax = _interp_matrix(x1, bin_w, m, s, w)  # [K, m, W]
+        if s > 0:
+            ay = _interp_matrix(y1, bin_h, m, s, h)  # [K, m, H]
+            ax = _interp_matrix(x1, bin_w, m, s, w)  # [K, m, W]
+        else:  # adaptive: ceil(bin_size) samples per bin, per roi
+            gy = jnp.clip(jnp.ceil(bin_h), 1.0, max_samples)
+            gx = jnp.clip(jnp.ceil(bin_w), 1.0, max_samples)
+            ay = _interp_matrix(y1, bin_h, m, max_samples, h, grid=gy)
+            ax = _interp_matrix(x1, bin_w, m, max_samples, w, grid=gx)
 
         # embed the batch selection into the H axis: [K, m, B*H]
         onehot_b = jax.nn.one_hot(batch_idx, b, dtype=jnp.float32)  # [K, B]
@@ -136,29 +167,33 @@ def roi_align(
     return pooled.reshape(pad_r, m, m, c)[:r]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def roi_align_gather(
     features: jnp.ndarray,
     rois: jnp.ndarray,
     out_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     chunk_size: int = 128,
+    max_samples: int = 16,
 ) -> jnp.ndarray:
-    """Gather-based reference implementation (validation / small fmaps)."""
+    """Gather-based reference implementation (validation / small fmaps).
+
+    Same semantics as :func:`roi_align`, including adaptive
+    ``sampling_ratio=0`` under the static ``max_samples`` bound.
+    """
     b, h, w, c = features.shape
     r = rois.shape[0]
-    s = sampling_ratio
+    s = sampling_ratio if sampling_ratio > 0 else max_samples
+    adaptive = sampling_ratio <= 0
     flat = features.reshape(b, h * w, c)
 
     rois = rois.astype(jnp.float32)
     pad_r = _round_up(max(r, 1), chunk_size)
     rois_p = jnp.zeros((pad_r, 5), jnp.float32).at[:r].set(rois)
 
-    offs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    grid = (
-        jnp.arange(out_size, dtype=jnp.float32)[:, None] + offs[None, :]
-    ).reshape(-1)
+    slot = jnp.arange(s, dtype=jnp.float32)
+    bin_idx = jnp.arange(out_size, dtype=jnp.float32)
 
     def pool_chunk(chunk):
         batch_idx = chunk[:, 0].astype(jnp.int32)
@@ -169,8 +204,25 @@ def roi_align_gather(
         bin_w = jnp.maximum(x2 - x1, 1.0) / out_size
         bin_h = jnp.maximum(y2 - y1, 1.0) / out_size
 
-        ys = y1[:, None] + grid[None, :] * bin_h[:, None]
-        xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+        if adaptive:
+            gy = jnp.clip(jnp.ceil(bin_h), 1.0, s)[:, None]  # [K, 1]
+            gx = jnp.clip(jnp.ceil(bin_w), 1.0, s)[:, None]
+        else:
+            gy = gx = jnp.full((chunk.shape[0], 1), float(s), jnp.float32)
+        offs_y = (slot[None, :] + 0.5) / gy                  # [K, s]
+        offs_x = (slot[None, :] + 0.5) / gx
+        # sample grid [K, out*s]: bin index + intra-bin offset
+        grid_y = (bin_idx[None, :, None] + offs_y[:, None, :]).reshape(
+            chunk.shape[0], -1
+        )
+        grid_x = (bin_idx[None, :, None] + offs_x[:, None, :]).reshape(
+            chunk.shape[0], -1
+        )
+        slot_y = (slot[None, :] < gy).astype(jnp.float32)    # [K, s]
+        slot_x = (slot[None, :] < gx).astype(jnp.float32)
+
+        ys = y1[:, None] + grid_y * bin_h[:, None]
+        xs = x1[:, None] + grid_x * bin_w[:, None]
 
         def corners(v, hi):
             valid = (v >= -1.0) & (v <= hi)
@@ -199,11 +251,16 @@ def roi_align_gather(
         wx = jnp.stack([1.0 - fx, fx], -1)[:, None, :, None, :]
         wgt = (wy * wx).reshape(k, mm, mm, 4)
         valid = (vy[:, :, None] & vx[:, None, :])[..., None]
+        # mask sample slots beyond each roi's adaptive count
+        sy = jnp.tile(slot_y[:, None, :], (1, out_size, 1)).reshape(k, mm)
+        sx = jnp.tile(slot_x[:, None, :], (1, out_size, 1)).reshape(k, mm)
+        wgt = wgt * (sy[:, :, None] * sx[:, None, :])[..., None]
         wgt = jnp.where(valid, wgt, 0.0).reshape(k, mm * mm * 4)
 
         gathered = flat[batch_idx[:, None], idx]
         out = (gathered * wgt[..., None]).reshape(k, mm, mm, 4, c).sum(3)
-        return out.reshape(k, out_size, s, out_size, s, c).mean(axis=(2, 4))
+        out = out.reshape(k, out_size, s, out_size, s, c).sum(axis=(2, 4))
+        return out / (gy * gx)[..., None, None]
 
     pooled = jax.lax.map(pool_chunk, rois_p.reshape(-1, chunk_size, 5))
     return pooled.reshape(pad_r, out_size, out_size, c)[:r]
