@@ -12,6 +12,8 @@ Two front-ends produce the same (entry, fmaps, gt_annotation) stream:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +22,47 @@ from vidsgg.data import EntryCapacity, build_gt_entry, synthetic_video_annotatio
 from vidsgg.data.gt_entries import video_counts
 from vidsgg.data.synthetic import synthetic_base_fmaps
 from vidsgg.detector.featurize import featurize_gt_entry
+
+
+@dataclasses.dataclass
+class SourceStats:
+    """Honest per-epoch accounting: how many videos flowed vs were dropped
+    for exceeding every bucket (silent drops were a round-1 weakness)."""
+
+    yielded: int = 0
+    skipped: int = 0
+    bucket_counts: dict = dataclasses.field(default_factory=dict)
+
+    def reset(self):
+        self.yielded = 0
+        self.skipped = 0
+        self.bucket_counts.clear()
+
+    @property
+    def skip_rate(self) -> float:
+        total = self.yielded + self.skipped
+        return self.skipped / total if total else 0.0
+
+
+def default_buckets(
+    max_frames: int = 64, objs_per_frame: int = 4, pairs_per_frame: int = 3
+) -> list[EntryCapacity]:
+    """Ascending video-size buckets (16/32/.../max frames). Each distinct
+    bucket is one jit specialization; short videos stop paying the padding
+    of long ones, and videos up to ``max_frames`` are admitted rather than
+    dropped."""
+    buckets = []
+    f = 16
+    while f < max_frames:
+        buckets.append(
+            EntryCapacity(f, objs_per_frame * f, pairs_per_frame * f)
+        )
+        f *= 2
+    buckets.append(
+        EntryCapacity(max_frames, objs_per_frame * max_frames,
+                      pairs_per_frame * max_frames)
+    )
+    return buckets
 
 
 def make_synthetic_source(
@@ -89,10 +132,12 @@ def make_ag_source(
 
     With ``buckets`` (ascending capacities), each video is padded to the
     smallest covering bucket; otherwise everything uses ``cap`` and
-    over-capacity videos are skipped with a warning count.
+    over-capacity videos are skipped. Either way the returned callable
+    carries a ``stats`` :class:`SourceStats` with honest yield/skip counts.
+
+    Without a detector model, a fixed random base map + projection head
+    stand in (cached-feature bring-up, SURVEY.md §7.2 step 2).
     """
-    base_fn = None
-    head_fn = None
     if detector_model is not None:
         base_fn = jax.jit(
             lambda v, x: detector_model.apply(v, x, method="base_features")
@@ -100,14 +145,24 @@ def make_ag_source(
         head_fn = lambda pooled: detector_model.apply(
             detector_variables, pooled, method="head_to_tail"
         )
+    else:
+        w = jax.random.normal(jax.random.PRNGKey(7), (1024, 2048)) * 0.02
+        base_fn = jax.jit(
+            lambda _v, x: jax.random.normal(
+                jax.random.PRNGKey(11),
+                (x.shape[0], max(x.shape[1] // 16, 1), max(x.shape[2] // 16, 1), 1024),
+            )
+        )
+        head_fn = lambda pooled: pooled.mean(axis=(1, 2)) @ w
     featurize = jax.jit(lambda e, f: featurize_gt_entry(e, f, head_fn))
 
     rng = np.random.RandomState(seed)
+    stats = SourceStats()
 
     def source():
+        stats.reset()
         n = len(dataset) if max_videos is None else min(max_videos, len(dataset))
         order = rng.permutation(len(dataset))[:n] if shuffle else np.arange(n)
-        skipped = 0
         for i in order:
             ann = dataset.gt_annotations[i]
             f, nb, p = video_counts(ann)
@@ -118,7 +173,7 @@ def make_ag_source(
                               and p <= cap.max_pairs) else None)
             )
             if vid_cap is None:
-                skipped += 1
+                stats.skipped += 1
                 continue
             frames, scale = dataset.load_video_frames(i)
             pad_f = np.zeros(
@@ -129,10 +184,17 @@ def make_ag_source(
             entry = build_gt_entry(ann, vid_cap)
             entry = entry.replace(im_scale=jnp.float32(scale))
             entry = featurize(entry, fmaps)
+            stats.yielded += 1
+            key = vid_cap.max_frames
+            stats.bucket_counts[key] = stats.bucket_counts.get(key, 0) + 1
             yield entry, fmaps, ann
-        if skipped:
-            print(f"[ag_source] skipped {skipped} over-capacity videos")
+        if stats.skipped:
+            print(
+                f"[ag_source] skipped {stats.skipped} over-capacity videos "
+                f"({100 * stats.skip_rate:.1f}%)"
+            )
 
+    source.stats = stats
     return source
 
 
@@ -151,15 +213,16 @@ def make_sgdet_source(
     The detector chunk shape is padded to /16 like the reference's blob.
     """
     rng = np.random.RandomState(seed)
+    stats = SourceStats()
 
     def source():
+        stats.reset()
         n = len(dataset) if max_videos is None else min(max_videos, len(dataset))
         order = rng.permutation(len(dataset))[:n] if shuffle else np.arange(n)
-        skipped = 0
         for i in order:
             ann = dataset.gt_annotations[i]
             if len(ann) > entry_cap.max_frames:
-                skipped += 1
+                stats.skipped += 1
                 continue
             frames, scale = dataset.load_video_frames(i)
             f, h, w, _ = frames.shape
@@ -173,10 +236,15 @@ def make_sgdet_source(
                     video_size=(w / scale, h / scale),
                 )
             except ValueError:  # over-capacity detections
-                skipped += 1
+                stats.skipped += 1
                 continue
+            stats.yielded += 1
             yield entry, jnp.asarray(fmaps), ann
-        if skipped:
-            print(f"[sgdet_source] skipped {skipped} over-capacity videos")
+        if stats.skipped:
+            print(
+                f"[sgdet_source] skipped {stats.skipped} over-capacity videos "
+                f"({100 * stats.skip_rate:.1f}%)"
+            )
 
+    source.stats = stats
     return source

@@ -12,7 +12,6 @@ import numpy as np
 from vidsgg.configs.teatgt import TeatGTRunConfig
 from vidsgg.data.entry import EntryCapacity
 from vidsgg.eval import get_ag_evaluators
-from vidsgg.eval.adapter import to_eval_pred
 from vidsgg.eval.temporal import (
     evaluate_temporal_consistency,
     temporal_consistency_summary,
@@ -53,7 +52,43 @@ def main(argv=None):
 
         src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
     else:
-        raise SystemExit("AG evaluation requires the dataset; use --synthetic N here")
+        import jax.numpy as jnp
+
+        from vidsgg.cli.data_source import (
+            default_buckets,
+            make_ag_source,
+            make_sgdet_source,
+        )
+        from vidsgg.data.action_genome import ActionGenome
+        from vidsgg.detector.faster_rcnn import FasterRCNN
+
+        buckets = default_buckets(max_frames=64)
+        cap = buckets[-1]
+        clips = ClipCaps(clip_size=5, n_clips=-(-cap.max_frames // 5),
+                         tokens_per_clip=5 * 8, edges_per_clip=320,
+                         tokens_per_frame=8)
+        ds = ActionGenome("test", cfg.datasize, cfg.data_path,
+                          filter_small_box=cfg.mode != "predcls")
+        det = FasterRCNN()
+        if getattr(cfg, "model_path", None):
+            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
+        else:
+            det_vars = jax.jit(det.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
+                jnp.array([608.0, 1008.0]),
+            )
+            print("WARNING: no detector checkpoint; random detector weights")
+        if cfg.mode == "sgdet":
+            from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            src = make_sgdet_source(ds, cap, frontend, shuffle=False,
+                                    max_videos=max_videos)
+        else:
+            src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
+                                 max_videos=max_videos, buckets=buckets)
 
     model = TeatGT(cfg.model_config(clips))
     entry0, _, _ = next(iter(src()))
@@ -62,19 +97,16 @@ def main(argv=None):
     if ckpt:
         state = restore_checkpoint(ckpt, state, "best_recall")
 
-    fwd = jax.jit(
-        lambda s, e: s.apply_fn(
-            {"params": s.params, "batch_stats": s.batch_stats}, e, phase="test"
-        )
-    )
+    from vidsgg.train.eval_pipeline import EvalPipeline
+
+    pipeline = EvalPipeline(cfg.mode, cap, needs_union=False)
     evs = get_ag_evaluators(cfg.mode)
     tc_s, tc_c = [], []
     t0, n = time.time(), 0
     for entry, fmaps, gt in src():
         if max_videos is not None and n >= max_videos:
             break
-        out = fwd(state, entry)
-        pred = to_eval_pred(entry, out, cfg.mode)
+        pred = pipeline(state, entry, fmaps, gt_entry=entry)
         for ev in evs:
             ev.evaluate_scene_graph(gt, pred)
         if cfg.mode != "sgdet":

@@ -46,10 +46,23 @@ def main(argv=None):
                                         seed=cfg.seed + 1, shuffle=False)
         steps_per_epoch = synthetic
     else:
-        from vidsgg.cli.data_source import make_ag_source
+        from vidsgg.cli.data_source import default_buckets, make_ag_source
         from vidsgg.data.action_genome import ActionGenome
         from vidsgg.detector.faster_rcnn import FasterRCNN
         import jax.numpy as jnp
+
+        # bucket the data pipeline; clip buffers are sized for the largest
+        # bucket (ClipCaps is a static model capacity, so TEAT-GT compute
+        # specializes per bucket only through the detector/base stage)
+        buckets = default_buckets(max_frames=64)
+        cap = buckets[-1]
+        clips = ClipCaps(
+            clip_size=5,
+            n_clips=-(-cap.max_frames // 5),
+            tokens_per_clip=5 * 8,
+            edges_per_clip=320,
+            tokens_per_frame=8,
+        )
 
         train_ds = ActionGenome("train", cfg.datasize, cfg.data_path,
                                 filter_small_box=cfg.mode != "predcls")
@@ -79,8 +92,10 @@ def main(argv=None):
             )
             val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False)
         else:
-            train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
-            val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+            train_src = make_ag_source(train_ds, cap, det, det_vars,
+                                       seed=cfg.seed, buckets=buckets)
+            val_src = make_ag_source(test_ds, cap, det, det_vars,
+                                     shuffle=False, buckets=buckets)
         steps_per_epoch = len(train_ds)
 
     model_cfg = cfg.model_config(clips)

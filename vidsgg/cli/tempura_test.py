@@ -53,9 +53,16 @@ def main(argv=None):
     else:
         import jax.numpy as jnp
 
-        from vidsgg.cli.data_source import make_ag_source, make_sgdet_source
+        from vidsgg.cli.data_source import (
+            default_buckets,
+            make_ag_source,
+            make_sgdet_source,
+        )
         from vidsgg.data.action_genome import ActionGenome
         from vidsgg.detector.faster_rcnn import FasterRCNN
+
+        buckets = default_buckets(max_frames=64)
+        cap = buckets[-1]
 
         ds = ActionGenome("test", cfg.datasize, cfg.data_path,
                           filter_small_box=cfg.mode != "predcls")
@@ -77,7 +84,7 @@ def main(argv=None):
                                     max_videos=max_videos)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
-                                 max_videos=max_videos)
+                                 max_videos=max_videos, buckets=buckets)
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)

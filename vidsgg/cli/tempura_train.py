@@ -45,9 +45,14 @@ def main(argv=None):
                                         shuffle=False)
         steps_per_epoch = synthetic
     else:
-        from vidsgg.cli.data_source import make_ag_source
+        from vidsgg.cli.data_source import default_buckets, make_ag_source
         from vidsgg.data.action_genome import ActionGenome
         from vidsgg.detector.faster_rcnn import FasterRCNN
+
+        # ascending per-video-size buckets: one jit specialization each,
+        # bounded padding waste, no silent drops below the largest bucket
+        buckets = default_buckets(max_frames=64)
+        cap = buckets[-1]
 
         train_ds = ActionGenome(
             "train", cfg.datasize, cfg.data_path,
@@ -81,8 +86,10 @@ def main(argv=None):
             )
             val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False)
         else:
-            train_src = make_ag_source(train_ds, cap, det, det_vars, seed=cfg.seed)
-            val_src = make_ag_source(test_ds, cap, det, det_vars, shuffle=False)
+            train_src = make_ag_source(train_ds, cap, det, det_vars,
+                                       seed=cfg.seed, buckets=buckets)
+            val_src = make_ag_source(test_ds, cap, det, det_vars,
+                                     shuffle=False, buckets=buckets)
         steps_per_epoch = len(train_ds)
 
     model_cfg = cfg.model_config()

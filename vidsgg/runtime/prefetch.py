@@ -43,4 +43,6 @@ def prefetch(source: Callable[[], Iterable], depth: int = 2) -> Callable[[], Ite
                 return
             yield item
 
+    # forward the source's skip/yield accounting (SourceStats) if present
+    wrapped.stats = getattr(source, "stats", None)
     return wrapped

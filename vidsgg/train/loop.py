@@ -104,6 +104,20 @@ def run_training(
                     step_i,
                 )
 
+        # honest skip accounting (over-capacity videos dropped by the source)
+        stats = getattr(train_data, "stats", None)
+        if stats is not None and (stats.yielded or stats.skipped):
+            writer.scalar("skipped_videos", stats.skipped, epoch)
+            writer.scalar("skip_rate", stats.skip_rate, epoch)
+            if stats.bucket_counts:
+                writer.text(
+                    f"epoch {epoch} buckets: "
+                    + ", ".join(
+                        f"{k}f={v}" for k, v in sorted(stats.bucket_counts.items())
+                    )
+                    + f"  skipped={stats.skipped}"
+                )
+
         # ---- validation ----
         ev_with, ev_semi, ev_no = get_ag_evaluators(loop_cfg.mode)
         tc_s, tc_c = [], []
