@@ -1,0 +1,77 @@
+"""The one-jit-region sgdet eval path (device clean_class + NMS + relabel +
+pair rebuild) produces the same evaluator-ready predictions as the host
+3-stage path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsgg.data import EntryCapacity, build_gt_entry, synthetic_video_annotation
+from vidsgg.data.synthetic import synthetic_base_fmaps
+from vidsgg.detector import featurize_gt_entry
+from vidsgg.eval import SceneGraphEvaluator
+from vidsgg.models import Tempura, TempuraConfig
+from vidsgg.train import create_train_state, make_optimizer
+from vidsgg.train.eval_pipeline import EvalPipeline
+
+CAP = EntryCapacity(max_frames=8, max_objs=24, max_pairs=16)
+
+
+def _sgdet_entry(seed):
+    ann = synthetic_video_annotation(num_frames=4, objs_per_frame=2, seed=seed)
+    entry = build_gt_entry(ann, CAP)
+    fmaps = jnp.array(synthetic_base_fmaps(CAP.max_frames, hw=(12, 20), seed=seed))
+    w = jax.random.normal(jax.random.PRNGKey(7), (1024, 2048)) * 0.02
+    entry = jax.jit(
+        lambda e, f: featurize_gt_entry(e, f, lambda p: p.mean(axis=(1, 2)) @ w)
+    )(entry, fmaps)
+    rng = np.random.RandomState(seed)
+    n = int(np.asarray(entry.obj_mask).sum())
+    dist = rng.rand(CAP.max_objs, 36).astype(np.float32)
+    dist = dist / dist.sum(1, keepdims=True)
+    dist *= np.asarray(entry.obj_mask)[:, None]
+    det_labels = rng.randint(1, 37, CAP.max_objs)
+    det_labels[1] = 5  # trigger clean_class
+    det_labels[min(2, n - 1)] = 17
+    det_labels = (det_labels * np.asarray(entry.obj_mask)).astype(np.int32)
+    entry = entry.replace(
+        distribution=jnp.asarray(dist), pred_labels=jnp.asarray(det_labels)
+    )
+    return ann, entry, fmaps
+
+
+def test_fused_sgdet_eval_matches_host():
+    ann, entry, fmaps = _sgdet_entry(3)
+    cfg = TempuraConfig.for_mode("sgdet", rel_head="gmm", enc_layers=1, dec_layers=1)
+    model = Tempura(cfg)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0), make_optimizer(steps_per_epoch=1)
+    )
+
+    pred_host = EvalPipeline("sgdet", CAP, device_postprocess=False)(
+        state, entry, fmaps, gt_entry=entry
+    )
+    pred_dev = EvalPipeline("sgdet", CAP, device_postprocess=True)(
+        state, entry, fmaps, gt_entry=entry
+    )
+
+    np.testing.assert_array_equal(pred_dev["pred_labels"], pred_host["pred_labels"])
+    np.testing.assert_allclose(pred_dev["boxes"], pred_host["boxes"], atol=1e-5)
+    np.testing.assert_array_equal(pred_dev["im_idx"], pred_host["im_idx"])
+    np.testing.assert_array_equal(pred_dev["pair_idx"], pred_host["pair_idx"])
+    np.testing.assert_allclose(
+        pred_dev["pred_scores"], pred_host["pred_scores"], atol=1e-5
+    )
+    for k in ("attention_distribution", "spatial_distribution",
+              "contacting_distribution"):
+        np.testing.assert_allclose(
+            pred_dev[k], pred_host[k], atol=2e-4, err_msg=k
+        )
+
+    # and both feed the evaluator identically
+    ev_h = SceneGraphEvaluator("sgdet", constraint="with")
+    ev_d = SceneGraphEvaluator("sgdet", constraint="with")
+    ev_h.evaluate_scene_graph(ann, pred_host)
+    ev_d.evaluate_scene_graph(ann, pred_dev)
+    for k in ev_h.KS:
+        assert ev_h.recall_at(k) == ev_d.recall_at(k)

@@ -96,10 +96,44 @@ def _sgcls_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
     return entry2, out
 
 
+def _sgdet_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
+    """Whole sgdet test step as ONE jit region: OSPU classify -> on-device
+    clean_class + grouped NMS + relabel + pair rebuild (expanded object
+    axis) -> union refeaturize -> relation forward. Returns an overflow
+    flag; the caller re-runs the exact host path on (rare) truncation."""
+    from vidsgg.models.postprocess_device import sgdet_postprocess_device
+
+    aux = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry,
+        phase="test",
+        obj_memory=state.obj_memory,
+        mem_active=state.mem_active,
+        method="classify_objects",
+    )
+    entry2, mem2, overflow = sgdet_postprocess_device(
+        entry, aux["distribution"], aux["object_mem_features"]
+    )
+    if needs_union:
+        union_feat, _, spatial_masks = pair_union_features(entry2, fmaps)
+        entry2 = entry2.replace(union_feat=union_feat, spatial_masks=spatial_masks)
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry2,
+        mem2,
+        phase="test",
+        rel_memory=state.rel_memory,
+        mem_active=state.mem_active,
+        method="relation_forward",
+    )
+    return entry2, out, overflow
+
+
 classify_stage = jax.jit(_classify_stage)
 relation_stage = jax.jit(_relation_stage)
 relation_stage_no_union = jax.jit(_relation_stage_no_union)
 sgcls_fused_stage = jax.jit(_sgcls_fused, static_argnums=(3,))
+sgdet_fused_stage = jax.jit(_sgdet_fused, static_argnums=(3,))
 
 
 def _pad_rows(arr: np.ndarray, cap: int) -> np.ndarray:
@@ -178,6 +212,14 @@ class EvalPipeline:
             entry2, out = sgcls_fused_stage(state, entry, fmaps, self.needs_union)
             pred = to_eval_pred(entry2, out, self.mode)
             return self._attach_gt(pred, gt_entry)
+
+        if self.mode == "sgdet" and self.device_postprocess:
+            entry2, out, overflow = sgdet_fused_stage(
+                state, entry, fmaps, self.needs_union
+            )
+            if not bool(overflow):  # rare clean_class blow-up -> host path
+                pred = to_eval_pred(entry2, out, self.mode)
+                return self._attach_gt(pred, gt_entry)
 
         aux = _classify_jit(state, entry)
         n = int(np.asarray(entry.obj_mask).sum())
