@@ -56,7 +56,8 @@ def test_token_layout_routing():
 @pytest.fixture(scope="module")
 def teatgt_setup():
     cfg = TeatGTConfig.for_mode(
-        "predcls", encoder_layers=2, encoder_attention_heads=4, caps=CLIPS
+        "predcls", encoder_layers=2, encoder_attention_heads=4, caps=CLIPS,
+        use_cons_str_loss=True, use_cons_sem_loss=True,
     )
     model = TeatGT(cfg)
     ann, entry = _entry()
@@ -117,3 +118,28 @@ def test_teatgt_training_reduces_loss(teatgt_setup):
     assert all(np.isfinite(losses))
     assert "structure_temp_loss" in metrics
     assert losses[-1] < losses[0]
+
+
+def test_consistency_losses_skipped_when_flags_off():
+    """With both cons-loss flags off (the default TEMPURA-style config), the
+    regularizer's GraphTransformers and second eigendecomposition are not
+    built or run at all — no wasted train-time FLOPs."""
+    _, entry = _entry(seed=5)
+    cfg = TeatGTConfig.for_mode(
+        "predcls", encoder_layers=2, encoder_attention_heads=4, caps=CLIPS
+    )
+    model = TeatGT(cfg)
+    state = create_train_state(
+        model, _DummyCfg(), entry, jax.random.PRNGKey(0),
+        make_optimizer(steps_per_epoch=1),
+    )
+    out, _ = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        entry, phase="train",
+        rngs={"dropout": jax.random.PRNGKey(0), "gmm": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert "structure_temp_loss" not in out
+    assert "semantic_temp_loss" not in out
+    # the regularizer modules left no parameters behind
+    assert "gat" not in state.params and "gat_semantic" not in state.params

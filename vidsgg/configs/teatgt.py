@@ -110,6 +110,8 @@ class TeatGTRunConfig:
                 "rand" if self.rand_node_id
                 else "orf" if self.orf_node_id else "lap"
             ),
+            use_cons_str_loss=self.use_cons_str_loss,
+            use_cons_sem_loss=self.use_cons_sem_loss,
             caps=caps or ClipCaps(),
         )
 

@@ -75,6 +75,13 @@ class TeatGTConfig:
     spatial_thr: float = 0.5
     sim_thr: float = 0.75
     reg_lap_k: int = 10
+    # temporal-consistency regularizer flags: when both are off, the two
+    # GraphTransformers + the second masked eigendecomposition are skipped
+    # entirely at train time (the reference computes them unconditionally
+    # and lets the loss assembly drop the result, lib/teatgt.py:285-334 —
+    # wasted FLOPs in the default TEMPURA-style config)
+    use_cons_str_loss: bool = False
+    use_cons_sem_loss: bool = False
     caps: ClipCaps = ClipCaps()
 
     @staticmethod
@@ -219,7 +226,7 @@ class TeatGT(nn.Module):
             .set(node_hidden.reshape(-1, cfg.encoder_embed_dim), mode="drop")
         )
 
-        if phase == "train":
+        if phase == "train" and (cfg.use_cons_str_loss or cfg.use_cons_sem_loss):
             str_loss, sem_loss = self._consistency_losses(
                 entry, layout, tok, node_hidden, pair_ids, deterministic
             )

@@ -43,10 +43,15 @@ from vidsgg.models.performer import favor_attention, gaussian_orthogonal_random_
 
 class MultiheadPerformerAttention(nn.Module):
     """FAVOR+ linear-attention drop-in for the self-attention site
-    (modules/multihead_performer_attention.py). The random-feature
-    projection is regenerated deterministically from ``proj_seed`` (a
-    compile-time constant, folded by XLA); the reference's
-    ProjectionUpdater redraw corresponds to bumping the seed."""
+    (modules/multihead_performer_attention.py).
+
+    Random-feature redraw (the reference's ProjectionUpdater,
+    performer_pytorch.py): during training, when a ``performer`` RNG stream
+    is supplied, the projection is drawn from it — the train step folds
+    ``step // redraw_interval`` into a fixed base key, so the projection is
+    constant within an interval and redraws at the boundary, per layer.
+    Without the stream (or at test time) it falls back to a deterministic
+    compile-time constant from ``proj_seed``."""
 
     embed_dim: int
     num_heads: int
@@ -64,8 +69,12 @@ class MultiheadPerformerAttention(nn.Module):
         q = split(nn.Dense(d, name="q_proj")(x))
         k = split(nn.Dense(d, name="k_proj")(x))
         v = split(nn.Dense(d, name="v_proj")(x))
+        if not deterministic and self.has_rng("performer"):
+            proj_rng = self.make_rng("performer")
+        else:
+            proj_rng = jax.random.PRNGKey(self.proj_seed)
         proj = gaussian_orthogonal_random_matrix(
-            jax.random.PRNGKey(self.proj_seed), self.nb_features, hd
+            proj_rng, self.nb_features, hd
         )[0]
         out = favor_attention(q, k, v, key_mask[..., None, :], proj)
         out = out.swapaxes(-3, -2).reshape(x.shape[:-1] + (d,))

@@ -21,7 +21,7 @@ import optax
 from vidsgg.data.entry import Entry
 from vidsgg.runtime.mesh import data_sharding, replicate_sharding
 from vidsgg.train.state import TrainState
-from vidsgg.train.steps import LossFlags, assemble_losses
+from vidsgg.train.steps import LossFlags, assemble_losses, performer_rng
 
 
 def stack_entries(entries: list[Entry]) -> Entry:
@@ -46,7 +46,13 @@ def make_parallel_train_step(flags: LossFlags, mesh):
                     rel_memory=state.rel_memory,
                     obj_memory=state.obj_memory,
                     mem_active=state.mem_active,
-                    rngs={"dropout": d_rng, "gmm": g_rng},
+                    rngs={
+                        "dropout": d_rng,
+                        "gmm": g_rng,
+                        "performer": performer_rng(
+                            state.step, flags.performer_redraw_interval
+                        ),
+                    },
                     mutable=["batch_stats"],
                 )
                 losses = assemble_losses(out, entry, flags)

@@ -31,6 +31,15 @@ class LossFlags:
     use_cons_str_loss: bool = False
     use_cons_sem_loss: bool = False
     cons_weight: float = 2500.0
+    # FAVOR+ projection redraw cadence (the reference's ProjectionUpdater):
+    # the 'performer' RNG stream changes every N steps, so Performer
+    # attention keeps one projection for N steps then redraws
+    performer_redraw_interval: int = 1000
+
+
+def performer_rng(step, interval: int):
+    """Fixed-base key that changes exactly at redraw-interval boundaries."""
+    return jax.random.fold_in(jax.random.PRNGKey(1123), step // interval)
 
 
 def assemble_losses(out: dict, entry: Entry, flags: LossFlags) -> dict:
@@ -83,7 +92,13 @@ def make_train_step(flags: LossFlags):
                 rel_memory=state.rel_memory,
                 obj_memory=state.obj_memory,
                 mem_active=state.mem_active,
-                rngs={"dropout": d_rng, "gmm": g_rng},
+                rngs={
+                    "dropout": d_rng,
+                    "gmm": g_rng,
+                    "performer": performer_rng(
+                        state.step, flags.performer_redraw_interval
+                    ),
+                },
                 mutable=["batch_stats"],
             )
             losses = assemble_losses(out, entry, flags)
