@@ -1,0 +1,190 @@
+"""VidVRD relation training + evaluation CLI.
+
+The reference declares VidVRD (dataloader/VidVRD/ exists) but ships a
+0-LoC stub — this CLI is where the build overtakes the reference: train
+the generic-pair relation model (``vidsgg.models.generic_rel``) on
+release-format VidVRD annotations (or synthetic data), then report
+relation-tagging P/R@K and per-frame R@K.
+
+Long videos are chunked into capacity buckets (``build_vidvrd_entries``),
+so each distinct bucket compiles once and hundreds-of-frame videos stream
+through as a sequence of fixed-shape chunk steps.
+
+Example:
+  python -m vidsgg.cli.vidvrd_train --synthetic 8 --nepoch 3
+  python -m vidsgg.cli.vidvrd_train --data_path /data/vidvrd --nepoch 10
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vidsgg.data.entry import EntryCapacity
+from vidsgg.data.vidvrd import VidVRD, synthetic_vidvrd_annotation
+from vidsgg.data.vidvrd_entry import ChunkStats, GenericEntry, build_vidvrd_entries
+from vidsgg.eval.vidvrd_eval import VidVRDEvaluator, chunk_outputs
+from vidsgg.models.generic_rel import GenericRelModel, predicate_bce_loss
+
+# ascending chunk buckets: one jit specialization each; a video chunk lands
+# in the smallest bucket that fits it (mirrors cli/data_source.pick_bucket)
+BUCKETS = (
+    EntryCapacity(max_frames=8, max_objs=32, max_pairs=48),
+    EntryCapacity(max_frames=16, max_objs=64, max_pairs=96),
+    EntryCapacity(max_frames=32, max_objs=128, max_pairs=192),
+)
+
+
+def _entries_for_video(frames, num_predicates, stats):
+    """Chunk with the largest bucket, then re-pack each chunk into the
+    smallest bucket that holds it (fewer padded FLOPs per chunk)."""
+    out = []
+    for e in build_vidvrd_entries(frames, BUCKETS[-1], num_predicates, stats):
+        n = int(np.asarray(e.obj_mask).sum())
+        p = int(np.asarray(e.pair_mask).sum())
+        f = int(np.asarray(e.num_frames))
+        for b in BUCKETS:
+            if f <= b.max_frames and n <= b.max_objs and p <= b.max_pairs:
+                if b is not BUCKETS[-1]:
+                    sub = jax.tree_util.tree_map(np.asarray, e)
+                    e = GenericEntry(
+                        boxes=jnp.asarray(sub.boxes[: b.max_objs]),
+                        labels=jnp.asarray(sub.labels[: b.max_objs]),
+                        obj_mask=jnp.asarray(sub.obj_mask[: b.max_objs]),
+                        im_idx=jnp.asarray(sub.im_idx[: b.max_pairs]),
+                        pair_idx=jnp.asarray(sub.pair_idx[: b.max_pairs]),
+                        pair_mask=jnp.asarray(sub.pair_mask[: b.max_pairs]),
+                        predicate_gt=jnp.asarray(
+                            sub.predicate_gt[: b.max_pairs]
+                        ),
+                        num_frames=jnp.asarray(sub.num_frames),
+                        frame_offset=jnp.asarray(sub.frame_offset),
+                    )
+                break
+        out.append(e)
+    return out
+
+
+def make_train_step(model, tx):
+    @jax.jit
+    def step(params, opt_state, entry, rng):
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, entry, deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return predicate_bce_loss(logits, entry)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def step(params, entry):
+        logits = model.apply({"params": params}, entry, deterministic=True)
+        return jax.nn.sigmoid(logits)
+
+    return step
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def flag(name, default, cast):
+        if name in argv:
+            i = argv.index(name)
+            v = cast(argv[i + 1])
+            del argv[i : i + 2]
+            return v
+        return default
+
+    synthetic = flag("--synthetic", 0, int)
+    data_path = flag("--data_path", "", str)
+    nepoch = flag("--nepoch", 3, int)
+    lr = flag("--lr", 1e-4, float)
+    seed = flag("--seed", 1123, int)
+    max_frames = flag("--max_frames", 0, int)
+
+    num_predicates = 8
+    num_classes = 10
+    if synthetic:
+        anns = [
+            synthetic_vidvrd_annotation(
+                num_frames=20 + 15 * (i % 3), seed=seed + i,
+                num_classes=num_classes, num_predicates=num_predicates,
+            )
+            for i in range(synthetic)
+        ]
+        import json
+        import tempfile
+        import os
+
+        tmp = tempfile.mkdtemp(prefix="vidvrd_synth_")
+        os.makedirs(f"{tmp}/train", exist_ok=True)
+        for a in anns:
+            with open(f"{tmp}/train/{a['video_id']}.json", "w") as f:
+                json.dump(a, f)
+        ds = VidVRD("train", tmp, max_frames=max_frames or None)
+    else:
+        ds = VidVRD("train", data_path, max_frames=max_frames or None)
+        num_classes = len(ds.object_classes)
+        num_predicates = max(len(ds.predicate_classes), 1)
+
+    stats = ChunkStats()
+    videos = [
+        _entries_for_video(ds.video_annotation(i), num_predicates, stats)
+        for i in range(len(ds))
+    ]
+    print(
+        f">>> VidVRD: {len(ds)} videos -> {stats.chunks} chunks "
+        f"({stats.frames} frames, {stats.objs} objs, {stats.pairs} pairs; "
+        f"dropped {stats.dropped_objs} objs / {stats.dropped_pairs} pairs)"
+    )
+
+    model = GenericRelModel(
+        num_obj_classes=num_classes, num_predicates=num_predicates
+    )
+    rng = jax.random.PRNGKey(seed)
+    tmpl = videos[0][0]
+    params = model.init(
+        {"params": rng, "dropout": rng}, tmpl, deterministic=True
+    )["params"]
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+
+    for epoch in range(nepoch):
+        t0 = time.perf_counter()
+        losses = []
+        for vi, chunks in enumerate(videos):
+            for e in chunks:
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step(params, opt_state, e, sub)
+                losses.append(float(loss))
+        print(
+            f"epoch {epoch}: loss={np.mean(losses):.4f} "
+            f"({time.perf_counter() - t0:.1f}s, {len(losses)} chunk steps)"
+        )
+
+    ev = VidVRDEvaluator()
+    for chunks in videos:
+        ev.add_video(
+            [chunk_outputs(e, eval_step(params, e)) for e in chunks]
+        )
+    summary = ev.summarize()
+    print(">>> eval:", {k: round(v, 4) for k, v in summary.items()})
+    return summary
+
+
+if __name__ == "__main__":
+    main()

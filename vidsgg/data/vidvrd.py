@@ -92,3 +92,68 @@ class VidVRD:
                 }
             )
         return frames
+
+
+def synthetic_vidvrd_annotation(
+    num_frames: int,
+    num_tracks: int = 4,
+    num_classes: int = 10,
+    num_predicates: int = 8,
+    seed: int = 0,
+) -> dict:
+    """One release-format VidVRD annotation dict with smooth random tracks.
+
+    Predicates are made *learnable from class geometry*: predicate id
+    depends on (subject class + object class) mod num_predicates, so a
+    model that reads labels + boxes can fit it — the shape of supervision
+    a train-smoke test needs.
+    """
+    rng = np.random.RandomState(seed)
+    objs = [
+        {"tid": t, "category": f"cat{rng.randint(1, num_classes)}"}
+        for t in range(num_tracks)
+    ]
+    pos = rng.rand(num_tracks, 2) * 400
+    vel = rng.randn(num_tracks, 2) * 3
+    trajectories = []
+    for _ in range(num_frames):
+        pos = np.clip(pos + vel, 0, 500)
+        frame = []
+        for t in range(num_tracks):
+            if rng.rand() < 0.9:  # tracks flicker like real detections
+                x, y = pos[t]
+                w, h = 30 + 20 * rng.rand(2)
+                frame.append(
+                    {
+                        "tid": t,
+                        "bbox": {
+                            "xmin": float(x), "ymin": float(y),
+                            "xmax": float(x + w), "ymax": float(y + h),
+                        },
+                    }
+                )
+        trajectories.append(frame)
+    cat_of = {o["tid"]: int(o["category"][3:]) for o in objs}
+    relations = []
+    for s in range(num_tracks):
+        for o in range(num_tracks):
+            if s == o or rng.rand() < 0.5:
+                continue
+            pred = (cat_of[s] + cat_of[o]) % num_predicates
+            begin = rng.randint(0, max(num_frames - 2, 1))
+            end = rng.randint(begin + 1, num_frames + 1)
+            relations.append(
+                {
+                    "subject_tid": s,
+                    "object_tid": o,
+                    "predicate": f"pred{pred}",
+                    "begin_fid": int(begin),
+                    "end_fid": int(end),
+                }
+            )
+    return {
+        "video_id": f"synth{seed:04d}",
+        "subject/objects": objs,
+        "trajectories": trajectories,
+        "relation_instances": relations,
+    }
