@@ -105,3 +105,41 @@ def test_sgdet_frontend_end_to_end(tiny_rcnn):
     assert (np.asarray(entry_t.pred_labels)[:nt] >= 1).all()
     d = np.asarray(entry_t.distribution)[:nt]
     assert np.allclose(d.sum(1), 1.0, atol=1e-4)
+
+
+def test_device_test_entry_matches_host_pack(tiny_rcnn):
+    """The on-device masked-compaction test frontend (make_test_entry_fn)
+    produces exactly the host `_test_entry` packing — same object order,
+    boxes, features, distributions, labels and masks."""
+    model, variables = tiny_rcnn
+    frontend = SgdetFrontend(
+        model, variables, SgdetCaps(dets_per_frame=8),
+        EntryCapacity(max_frames=4, max_objs=32, max_pairs=16),
+    )
+    frames = jnp.asarray(np.random.RandomState(5).rand(2, 64, 96, 3), jnp.float32)
+    im_hw = jnp.array([64.0, 96.0])
+
+    e_host, fm_host = frontend(frames, im_hw, 1.0, is_train=False,
+                               device_pack=False)
+    e_dev, fm_dev = frontend(frames, im_hw, 1.0, is_train=False,
+                             device_pack=True)
+
+    assert int(np.asarray(e_dev.obj_mask).sum()) == int(
+        np.asarray(e_host.obj_mask).sum()
+    )
+    for field in ("boxes", "scores", "distribution", "features"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(e_dev, field)),
+            np.asarray(getattr(e_host, field)),
+            rtol=1e-5, atol=1e-5, err_msg=field,
+        )
+    for field in ("labels", "pred_labels", "obj_mask", "frame_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(e_dev, field)),
+            np.asarray(getattr(e_host, field)), err_msg=field,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fm_dev), np.asarray(fm_host), rtol=1e-5, atol=1e-5
+    )
+    assert float(e_dev.im_scale) == float(e_host.im_scale)
+    assert int(e_dev.num_frames) == int(e_host.num_frames)

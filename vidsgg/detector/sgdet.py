@@ -88,18 +88,87 @@ def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
         det_boxes = jnp.clip(cls_boxes[fi, cls_idx, roi_idx], 0.0)
         det_labels = (cls_idx + 1) * det_mask
         det_feats = out["roi_features"][fi, roi_idx] * det_mask[..., None]
-        # class logits for the full detection set (softmax over 1..C-1 at
-        # :284-286 happens host-side from these features)
+        # class distribution over 1..C-1 (the softmax at :284-286), computed
+        # on device so the host never re-dispatches for it
+        logits = model.apply(variables, det_feats.reshape(-1, det_feats.shape[-1]),
+                             method="class_scores").reshape(f, -1, model.num_classes)
+        dist = jax.nn.softmax(logits[..., 1:], axis=-1) * det_mask[..., None]
         return {
             "boxes": det_boxes * det_mask[..., None],
             "labels": det_labels,
             "scores": top_scores * det_mask,
             "features": det_feats,
             "mask": det_mask,
+            "dists": dist,
             "base_feat": out["base_feat"],
         }
 
     return detect
+
+
+def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
+                       entry_cap: EntryCapacity):
+    """jit (variables, frames, im_hw, im_scale, video_size) ->
+    (Entry, base_feat, n_objs) — the whole sgdet *test* frontend on device.
+
+    The host `_test_entry` path flattens valid detections frame-major into
+    object rows (object_detector.py:280-302); that is a masked compaction,
+    so it runs on device as a stable argsort over the flattened validity
+    mask. With this, sgdet eval is two chained jit calls (detect+pack ->
+    fused relation stage) with no tunnel round-trips in between — the
+    round-1 host assembly cost ~270 ms/video of per-array transfers.
+
+    Requires ``entry_cap.max_objs >= F * dets_per_frame`` so packing can
+    never overflow (checked at build time).
+    """
+    detect = make_detect_fn(model, caps)
+
+    @jax.jit
+    def test_entry(variables, frames, im_hw, im_scale, video_size):
+        dets = detect(variables, frames, im_hw, im_scale)
+        f, d = dets["mask"].shape
+        cap = entry_cap
+        if cap.max_objs < f * d:
+            raise ValueError(
+                f"entry capacity {cap.max_objs} < {f}x{d} detection slots"
+            )
+        mask_flat = dets["mask"].reshape(-1)
+        # valid rows first, frame-major slot order preserved (stable)
+        order = jnp.argsort(jnp.where(mask_flat, 0, 1), stable=True)
+        n = mask_flat.sum()
+        valid = jnp.arange(cap.max_objs) < n
+
+        def fit(a):  # [f*d, ...] gathered -> capacity rows, zero-padded
+            a = a[order]
+            return jnp.pad(
+                a, ((0, cap.max_objs - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            )
+
+        frame_of = (jnp.arange(f * d) // d).astype(jnp.float32)
+        boxes5 = fit(jnp.concatenate(
+            [frame_of[:, None], dets["boxes"].reshape(f * d, 4)], axis=1
+        )) * valid[:, None]
+        feats = fit(dets["features"].reshape(f * d, -1)) * valid[:, None]
+        dists = fit(dets["dists"].reshape(f * d, -1)) * valid[:, None]
+        pred_labels = (dists.argmax(1).astype(jnp.int32) + 1) * valid
+        pred_scores = dists.max(1) * valid
+
+        e = Entry.zeros(cap).replace(
+            boxes=boxes5,
+            labels=pred_labels,
+            scores=pred_scores,
+            distribution=dists,
+            pred_labels=pred_labels,
+            features=feats,
+            obj_mask=valid,
+            frame_mask=jnp.arange(cap.max_frames) < f,
+            im_scale=jnp.asarray(im_scale, jnp.float32),
+            num_frames=jnp.asarray(f, jnp.int32),
+            video_size=jnp.asarray(video_size, jnp.float32),
+        )
+        return e, dets["base_feat"], n
+
+    return test_entry
 
 
 def make_supply_fn(model: FasterRCNN):
@@ -187,14 +256,30 @@ class SgdetFrontend:
         self.detect = make_detect_fn(model, caps)
         self.supply = make_supply_fn(model)
         self.class_score = make_class_score_fn(model)
+        self.test_entry_device = make_test_entry_fn(model, caps, entry_cap)
         from vidsgg.detector.featurize import featurize_pair_entry
 
         self.pair_featurize = jax.jit(featurize_pair_entry)
 
     def __call__(self, frames, im_hw, im_scale, gt_annotation=None,
-                 is_train=False, video_size=(600.0, 400.0)):
+                 is_train=False, video_size=(600.0, 400.0),
+                 device_pack=True):
+        if not is_train and device_pack \
+                and self.entry_cap.max_objs >= frames.shape[0] * self.caps.dets_per_frame:
+            # whole test frontend on device: no host sync between the
+            # detect jit and the fused relation jit
+            entry, base_feat, _ = self.test_entry_device(
+                self.variables, frames, im_hw, jnp.asarray(im_scale),
+                jnp.asarray(video_size, jnp.float32),
+            )
+            return entry, base_feat
         dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
+        # base_feat stays on device (it is only consumed by later jit
+        # regions; pulling ~200 MB/video of feature maps through the host
+        # was the round-1 frontend's dominant hidden cost)
+        base_feat = dets.pop("base_feat")
         dets = {k: np.asarray(v) for k, v in dets.items()}
+        dets["base_feat"] = base_feat
         f = frames.shape[0]
         frame_boxes = [dets["boxes"][i][dets["mask"][i]] for i in range(f)]
         frame_feats = [dets["features"][i][dets["mask"][i]] for i in range(f)]
@@ -268,16 +353,16 @@ class SgdetFrontend:
     def _test_entry(self, dets, frame_boxes, frame_feats, frame_scores,
                     im_scale, video_size):
         f = len(frame_boxes)
-        boxes, feats = [], []
+        boxes, feats, dist_rows = [], [], []
         for i in range(f):
-            for b, ft in zip(frame_boxes[i], frame_feats[i]):
+            frame_dists = dets["dists"][i][dets["mask"][i]]
+            for b, ft, dd in zip(frame_boxes[i], frame_feats[i], frame_dists):
                 boxes.append(np.concatenate([[i], b]))
                 feats.append(ft)
+                dist_rows.append(dd)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
         feats = np.asarray(feats, np.float32).reshape(-1, 2048)
-        logits = np.asarray(self.class_score(self.variables, jnp.asarray(feats)))
-        ex = np.exp(logits[:, 1:] - logits[:, 1:].max(1, keepdims=True))
-        dists = ex / ex.sum(1, keepdims=True)
+        dists = np.asarray(dist_rows, np.float32).reshape(-1, 36)
         pred_labels = dists.argmax(1) + 1
         pred_scores = dists.max(1)
         return self._pack_entry(
