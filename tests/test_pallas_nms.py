@@ -64,3 +64,47 @@ def test_pallas_nms_all_invalid_and_identical_boxes():
         )
     )
     assert not got2.any()
+
+
+def test_pallas_nms_batched_scan_variant():
+    """The problems-on-sublanes batched kernel (one N-step scan for the
+    whole grid) matches the lax reference on a 3-d (frame, class) grid and
+    on a long-N two-problem case."""
+    from vidsgg.ops.pallas_nms import nms_mask_pallas_batched
+
+    rng = np.random.RandomState(2)
+    f, c, n = 3, 5, 24
+    boxes = np.stack(
+        [np.stack([_random_problem(rng, n)[0] for _ in range(c)]) for _ in range(f)]
+    )
+    scores = rng.rand(f, c, n).astype(np.float32)
+    valid = rng.rand(f, c, n) > 0.2
+    got = np.asarray(
+        nms_mask_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.4, True
+        )
+    )
+    for i in range(f):
+        for j in range(c):
+            want = np.asarray(
+                nms_mask(
+                    jnp.asarray(boxes[i, j]), jnp.asarray(scores[i, j]),
+                    jnp.asarray(valid[i, j]), 0.4,
+                )
+            )
+            assert (got[i, j] == want).all(), (i, j)
+
+    n2 = 150  # > one lane tile, pads to 256
+    b2 = np.stack([_random_problem(rng, n2)[0] for _ in range(2)])
+    s2 = rng.rand(2, n2).astype(np.float32)
+    v2 = rng.rand(2, n2) > 0.3
+    got2 = np.asarray(
+        nms_mask_pallas_batched(
+            jnp.asarray(b2), jnp.asarray(s2), jnp.asarray(v2), 0.6, True
+        )
+    )
+    for i in range(2):
+        want2 = np.asarray(
+            nms_mask(jnp.asarray(b2[i]), jnp.asarray(s2[i]), jnp.asarray(v2[i]), 0.6)
+        )
+        assert (got2[i] == want2).all()

@@ -71,6 +71,114 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _nms_batch_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, thresh_ref,
+                      keep_ref, sup_ref):
+    """Batched scan: ALL problems advance one ranked box per step.
+
+    v1 (`_nms_kernel`) runs one program per (frame, class) problem, so the
+    grid serializes: problems x N tiny steps. Here problems live on the
+    sublane axis and boxes on the lane axis — each of the N steps is a
+    handful of full-width [PB, N] VPU ops, so the whole sgdet suppression
+    grid costs N wide steps total. Per-step scalars (box i's coords, its
+    suppression bit) are [PB, 1] dynamic lane slices, broadcast against the
+    row-wide operands.
+    """
+    pb, n = x1_ref.shape
+    thresh = thresh_ref[0]
+    x1, y1, x2, y2 = x1_ref[:], y1_ref[:], x2_ref[:], y2_ref[:]
+    valid_f = valid_ref[:]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (pb, n), 1)
+    sup_ref[:] = jnp.zeros((pb, n), jnp.float32)
+    keep_ref[:] = jnp.zeros((pb, n), jnp.float32)
+
+    def body(i, _):
+        # Mosaic can't prove lane alignment for a [PB, 1] dynamic slice, so
+        # per-problem scalars come from one-hot masked lane reductions
+        sel = jnp.where(col == i, 1.0, 0.0)   # [PB, N] one-hot column
+
+        def pick(a):                           # [PB, N] -> [PB, 1]
+            return jnp.sum(a * sel, axis=1, keepdims=True)
+
+        xi1, yi1, xi2, yi2 = pick(x1), pick(y1), pick(x2), pick(y2)
+        sup_i = pick(sup_ref[:])
+        val_i = pick(valid_f)
+        is_kept = jnp.where((sup_i == 0.0) & (val_i != 0.0), 1.0, 0.0)
+
+        area_i = (xi2 - xi1 + 1.0) * (yi2 - yi1 + 1.0)
+        iw = jnp.minimum(x2, xi2) - jnp.maximum(x1, xi1) + 1.0
+        ih = jnp.minimum(y2, yi2) - jnp.maximum(y1, yi1) + 1.0
+        inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+        iou = inter / (area + area_i - inter)
+        newly = jnp.where((iou > thresh) & (col > i), 1.0, 0.0) * is_kept
+        sup_ref[:] = jnp.maximum(sup_ref[:], newly)
+        keep_ref[:] = jnp.maximum(keep_ref[:], sel * is_kept)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def nms_mask_pallas_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-scan Pallas NMS: same contract as :func:`nms_mask_pallas`.
+
+    boxes [..., N, 4], scores [..., N], valid [..., N] -> keep [..., N].
+    Problems are blocked onto the sublane axis; each grid program handles a
+    block of problems and the scan advances all of them together.
+    """
+    lead = boxes.shape[:-2]
+    n = boxes.shape[-2]
+    g = 1
+    for d in lead:
+        g *= d
+    b = boxes.reshape(g, n, 4).astype(jnp.float32)
+    s = scores.reshape(g, n).astype(jnp.float32)
+    v = valid.reshape(g, n)
+
+    neg_inf = jnp.finfo(jnp.float32).min
+    order = jnp.argsort(jnp.where(v, s, neg_inf), axis=-1, descending=True)
+    gi = jnp.arange(g)[:, None]
+    bs = b[gi, order]
+    vs = v[gi, order]
+
+    n_pad = _round_up(max(n, 128), 128)
+    # block problems to keep ~7 [PB, n_pad] f32 arrays within a few MB VMEM
+    pb = max(8, min(_round_up(g, 8), (2 << 20) // (n_pad * 4)))
+    pb = _round_up(pb, 8)
+    g_pad = _round_up(g, pb)
+
+    def chan(c):
+        out = jnp.zeros((g_pad, n_pad), jnp.float32)
+        return out.at[:g, :n].set(bs[:, :, c])
+
+    vmat = jnp.zeros((g_pad, n_pad), jnp.float32).at[:g, :n].set(
+        vs.astype(jnp.float32)
+    )
+    thresh = jnp.full((1,), iou_thresh, jnp.float32)
+
+    spec = pl.BlockSpec((pb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    keep_sorted = pl.pallas_call(
+        _nms_batch_kernel,
+        grid=(g_pad // pb,),
+        in_specs=[spec, spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g_pad, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((pb, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(chan(0), chan(1), chan(2), chan(3), vmat, thresh)
+
+    keep_sorted = keep_sorted[:g, :n] != 0.0
+    keep = jnp.zeros((g, n), bool).at[gi, order].set(keep_sorted)
+    return keep.reshape(lead + (n,))
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def nms_mask_pallas(
     boxes: jnp.ndarray,
