@@ -151,3 +151,52 @@ def test_static_sampling_ratio_matches_oracle():
         roi_align(jnp.asarray(fmap), jnp.asarray(rois), out_size=5, sampling_ratio=2)
     )
     assert np.allclose(got, want, atol=3e-4), np.abs(got - want).max()
+
+
+def test_roi_align_batched_matches_general():
+    """The per-frame batched form equals the batch-embedded general form
+    (the zero rows it skips contribute exactly nothing)."""
+    import jax.numpy as jnp
+    from vidsgg.ops.roi_align import roi_align, roi_align_batched
+
+    rng = np.random.RandomState(11)
+    b, h, w, c, n = 3, 9, 13, 8, 6
+    feats = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    rois = rng.rand(b, n, 4).astype(np.float32) * 100
+    rois[..., 2:] += rois[..., :2]
+    rois5 = np.concatenate(
+        [np.repeat(np.arange(b), n).reshape(b, n, 1).astype(np.float32), rois],
+        axis=-1,
+    )
+    for sr in (0, 2):
+        want = np.asarray(
+            roi_align(feats, jnp.asarray(rois5.reshape(-1, 5)), 7, 1 / 16.0, sr)
+        ).reshape(b, n, 7, 7, c)
+        got = np.asarray(
+            roi_align_batched(feats, jnp.asarray(rois), 7, 1 / 16.0, sr)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_roi_align_fused_matches_general():
+    """The fused one-GEMM per-frame form equals the separable general form."""
+    import jax.numpy as jnp
+    from vidsgg.ops.roi_align import roi_align, roi_align_fused
+
+    rng = np.random.RandomState(13)
+    b, h, w, c, n = 3, 9, 13, 8, 6
+    feats = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    rois = rng.rand(b, n, 4).astype(np.float32) * 100
+    rois[..., 2:] += rois[..., :2]
+    rois5 = np.concatenate(
+        [np.repeat(np.arange(b), n).reshape(b, n, 1).astype(np.float32), rois],
+        axis=-1,
+    )
+    for sr in (0, 2):
+        want = np.asarray(
+            roi_align(feats, jnp.asarray(rois5.reshape(-1, 5)), 7, 1 / 16.0, sr)
+        ).reshape(b, n, 7, 7, c)
+        got = np.asarray(
+            roi_align_fused(feats, jnp.asarray(rois), 7, 1 / 16.0, sr)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

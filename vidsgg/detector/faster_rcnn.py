@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from vidsgg import constants as C
 from vidsgg.detector.resnet import ResNet101Base, ResNetHead
 from vidsgg.detector.rpn import RPN, RPNConfig, generate_anchors, proposal_layer
-from vidsgg.ops.roi_align import roi_align
+from vidsgg.ops.roi_align import roi_align_fused
 
 
 class FasterRCNN(nn.Module):
@@ -75,11 +75,13 @@ class FasterRCNN(nn.Module):
         n = rois.shape[1]
         batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n)).astype(jnp.float32)
         rois5 = jnp.concatenate([batch_idx[..., None], rois], axis=-1)
-        pooled = roi_align(
-            base_feat, rois5.reshape(-1, 5),
+        # proposals come N-per-frame, so pooling uses the per-frame fused
+        # one-GEMM ROIAlign (no batch embedding, no HBM intermediate)
+        pooled = roi_align_fused(
+            base_feat, rois,
             out_size=C.ROI_ALIGN_OUT, spatial_scale=C.ROI_ALIGN_SCALE,
             compute_dtype=None if self.dtype == jnp.float32 else self.dtype,
-        )
+        ).reshape(b * n, C.ROI_ALIGN_OUT, C.ROI_ALIGN_OUT, -1)
         feats = self.head(pooled).reshape(b, n, -1)
         cls_prob = nn.softmax(self.cls_score(feats), axis=-1)
         bbox_pred = self.bbox_pred(feats)

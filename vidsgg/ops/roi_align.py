@@ -168,6 +168,128 @@ def roi_align(
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def roi_align_batched(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 0,
+    compute_dtype=None,
+    max_samples: int = 16,
+) -> jnp.ndarray:
+    """Per-frame ROIAlign: [B, H, W, C] + [B, N, 4] -> [B, N, m, m, C].
+
+    Same math as :func:`roi_align`, specialized for the detector's regular
+    layout (a fixed N rois per frame). The general path embeds batch
+    selection into the row axis, so every chunk's stage-1 matmul contracts
+    over all B*H rows — at detector shapes (B=20, N=128) ~95% of those
+    FLOPs multiply structural zeros (measured 18.5 ms/video on v5e). Here
+    each frame's rois contract only against that frame's H rows (one
+    [N*m, H] @ [H, W*C] matmul per frame, vmapped), cutting stage-1 FLOPs
+    by B x while reading each feature map once.
+    """
+    b, h, w, c = features.shape
+    n = rois.shape[1]
+    m = out_size
+    out_dtype = features.dtype
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+    rois = rois.astype(jnp.float32)
+
+    def per_frame(fmap, fr):
+        x1 = fr[:, 0] * spatial_scale
+        y1 = fr[:, 1] * spatial_scale
+        x2 = fr[:, 2] * spatial_scale
+        y2 = fr[:, 3] * spatial_scale
+        bin_w = jnp.maximum(x2 - x1, 1.0) / m
+        bin_h = jnp.maximum(y2 - y1, 1.0) / m
+        if sampling_ratio > 0:
+            ay = _interp_matrix(y1, bin_h, m, sampling_ratio, h)
+            ax = _interp_matrix(x1, bin_w, m, sampling_ratio, w)
+        else:
+            gy = jnp.clip(jnp.ceil(bin_h), 1.0, max_samples)
+            gx = jnp.clip(jnp.ceil(bin_w), 1.0, max_samples)
+            ay = _interp_matrix(y1, bin_h, m, max_samples, h, grid=gy)
+            ax = _interp_matrix(x1, bin_w, m, max_samples, w, grid=gx)
+        if compute_dtype is not None:
+            ay = ay.astype(compute_dtype)
+            ax = ax.astype(compute_dtype)
+        t1 = jnp.matmul(
+            ay.reshape(n * m, h), fmap.reshape(h, w * c),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, m, w, c)
+        if compute_dtype is not None:
+            t1 = t1.astype(compute_dtype)
+        out = jnp.einsum(
+            "kmwc,knw->kmnc", t1, ax, preferred_element_type=jnp.float32
+        )
+        return out.astype(out_dtype)
+
+    return jax.vmap(per_frame)(features, rois)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def roi_align_fused(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 0,
+    compute_dtype=None,
+    max_samples: int = 16,
+) -> jnp.ndarray:
+    """Per-frame ROIAlign as ONE GEMM per frame: [B,H,W,C] + [B,N,4] ->
+    [B,N,m,m,C].
+
+    The separable two-matmul forms (:func:`roi_align`,
+    :func:`roi_align_batched`) materialize a [N*m, W*C] intermediate
+    (~115 MB/frame at detector shapes) whose HBM round trip dominates —
+    measured ~20 ms/video on v5e. Here the y- and x-interpolation rows are
+    combined into per-roi bin weights W2[k, m*m, H*W] (an outer product)
+    and pooling becomes a single [N*m*m, H*W] @ [H*W, C] matmul per frame:
+    2394-deep contraction (ideal MXU shape), no intermediate. More raw
+    FLOPs (~615 GF vs 105 GF per video) but ~4x faster wall-clock — the
+    MXU eats dense matmuls; HBM round trips it does not.
+    """
+    b, h, w, c = features.shape
+    n = rois.shape[1]
+    m = out_size
+    out_dtype = features.dtype
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+    rois = rois.astype(jnp.float32)
+
+    def per_frame(fmap, fr):
+        x1 = fr[:, 0] * spatial_scale
+        y1 = fr[:, 1] * spatial_scale
+        x2 = fr[:, 2] * spatial_scale
+        y2 = fr[:, 3] * spatial_scale
+        bin_w = jnp.maximum(x2 - x1, 1.0) / m
+        bin_h = jnp.maximum(y2 - y1, 1.0) / m
+        if sampling_ratio > 0:
+            ay = _interp_matrix(y1, bin_h, m, sampling_ratio, h)
+            ax = _interp_matrix(x1, bin_w, m, sampling_ratio, w)
+        else:
+            gy = jnp.clip(jnp.ceil(bin_h), 1.0, max_samples)
+            gx = jnp.clip(jnp.ceil(bin_w), 1.0, max_samples)
+            ay = _interp_matrix(y1, bin_h, m, max_samples, h, grid=gy)
+            ax = _interp_matrix(x1, bin_w, m, max_samples, w, grid=gx)
+        if compute_dtype is not None:
+            ay = ay.astype(compute_dtype)
+            ax = ax.astype(compute_dtype)
+        # combined bin weights: [N, m, m, H, W] -> [N*m*m, H*W]
+        w2 = (ay[:, :, None, :, None] * ax[:, None, :, None, :]).reshape(
+            n * m * m, h * w
+        )
+        out = jnp.matmul(
+            w2, fmap.reshape(h * w, c), preferred_element_type=jnp.float32
+        )
+        return out.reshape(n, m, m, c).astype(out_dtype)
+
+    return jax.vmap(per_frame)(features, rois)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def roi_align_gather(
     features: jnp.ndarray,
     rois: jnp.ndarray,
