@@ -116,3 +116,37 @@ def make_parallel_eval_step(mesh):
         return jax.vmap(fwd)(batch)
 
     return jax.jit(step_fn, in_shardings=(repl, shard), out_shardings=shard)
+
+
+def make_generic_parallel_train_step(model, tx, mesh):
+    """Data-parallel step for the VidVRD generic-pair relation model
+    (:mod:`vidsgg.models.generic_rel`): a batch of same-capacity chunk
+    entries sharded over the ``data`` axis, params replicated, one XLA
+    gradient all-reduce. Loss is the mean of per-chunk masked BCE."""
+    from vidsgg.models.generic_rel import predicate_bce_loss
+
+    repl = replicate_sharding(mesh)
+    shard = data_sharding(mesh)
+
+    def step_fn(params, opt_state, batch, rngs):
+        def loss_fn(params):
+            def fwd(entry, rng):
+                logits = model.apply(
+                    {"params": params}, entry, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return predicate_bce_loss(logits, entry)
+
+            return jax.vmap(fwd)(batch, rngs).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, shard, shard),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
