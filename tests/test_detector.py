@@ -143,3 +143,43 @@ def test_device_test_entry_matches_host_pack(tiny_rcnn):
     )
     assert float(e_dev.im_scale) == float(e_host.im_scale)
     assert int(e_dev.num_frames) == int(e_host.num_frames)
+
+
+def test_frontend_canvas_padding_is_transparent(tiny_rcnn):
+    """Spatial canvas + frame-bucket padding with num_frames masking gives
+    the same entry as the exact-shape call (detections in padded frames and
+    beyond the true (h, w) are dropped)."""
+    model, variables = tiny_rcnn
+    cap = EntryCapacity(max_frames=6, max_objs=48, max_pairs=16)
+    frontend = SgdetFrontend(model, variables, SgdetCaps(dets_per_frame=8), cap)
+    rng = np.random.RandomState(9)
+    frames = rng.rand(2, 64, 96, 3).astype(np.float32)
+    im_hw = jnp.array([64.0, 96.0])
+
+    # spatial canvas only (2 true frames)
+    sp = np.zeros((2, 80, 112, 3), np.float32)
+    sp[:, :64, :96] = frames
+    e_sp, _ = frontend(jnp.asarray(sp), im_hw, 1.0, is_train=False)
+
+    # same canvas + 2 zero padding frames, masked via num_frames: frames
+    # are independent in the detector, so this must match exactly
+    pad = np.zeros((4, 80, 112, 3), np.float32)
+    pad[:2, :64, :96] = frames
+    e_pad, _ = frontend(jnp.asarray(pad), im_hw, 1.0, is_train=False,
+                        num_frames=2)
+
+    n_sp = int(np.asarray(e_sp.obj_mask).sum())
+    n_pad = int(np.asarray(e_pad.obj_mask).sum())
+    assert n_pad == n_sp
+    for field in ("boxes", "scores", "distribution", "features"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(e_pad, field))[:n_pad],
+            np.asarray(getattr(e_sp, field))[:n_sp],
+            rtol=1e-5, atol=1e-5, err_msg=field,
+        )
+    if n_pad:
+        frames_used = np.asarray(e_pad.boxes)[:n_pad, 0]
+        assert (frames_used <= 1).all()
+    assert int(np.asarray(e_pad.num_frames)) == 2
+    assert np.asarray(e_pad.frame_mask)[:2].all()
+    assert not np.asarray(e_pad.frame_mask)[2:].any()

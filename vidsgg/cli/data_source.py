@@ -44,6 +44,28 @@ class SourceStats:
         return self.skipped / total if total else 0.0
 
 
+# Spatial canvases (multiples of 16) covering AG's min-side-600 resize:
+# landscape, near-square and portrait aspect ratios. Each distinct canvas is
+# ONE detector jit specialization — without them every distinct video
+# resolution costs a full recompile (minutes per shape on a remote-compile
+# TPU tunnel). Proposals still clip to the true (h, w), so the zero padding
+# beyond the image edge contributes nothing.
+DEFAULT_CANVASES = (
+    (608, 816), (608, 1008), (608, 1152),
+    (816, 608), (1008, 608), (816, 816),
+)
+
+
+def pick_canvas(h: int, w: int, canvases=DEFAULT_CANVASES):
+    """Smallest-area canvas covering (h, w); None if none fits (the caller
+    falls back to the exact /16-padded shape, paying one compile)."""
+    best = None
+    for ch, cw in canvases:
+        if h <= ch and w <= cw and (best is None or ch * cw < best[0] * best[1]):
+            best = (ch, cw)
+    return best
+
+
 def default_buckets(
     max_frames: int = 64, objs_per_frame: int = 4, pairs_per_frame: int = 3
 ) -> list[EntryCapacity]:
@@ -176,10 +198,12 @@ def make_ag_source(
                 stats.skipped += 1
                 continue
             frames, scale = dataset.load_video_frames(i)
+            h, w = frames.shape[1:3]
+            canvas = pick_canvas(h, w) or (-(-h // 16) * 16, -(-w // 16) * 16)
             pad_f = np.zeros(
-                (vid_cap.max_frames,) + frames.shape[1:], np.float32
+                (vid_cap.max_frames, canvas[0], canvas[1], 3), np.float32
             )
-            pad_f[: frames.shape[0]] = frames
+            pad_f[: frames.shape[0], :h, :w] = frames
             fmaps = base_fn(detector_variables, jnp.asarray(pad_f))
             entry = build_gt_entry(ann, vid_cap)
             entry = entry.replace(im_scale=jnp.float32(scale))
@@ -206,11 +230,17 @@ def make_sgdet_source(
     shuffle: bool = True,
     seed: int = 1123,
     max_videos: int | None = None,
+    canvases=DEFAULT_CANVASES,
+    frame_buckets: tuple = (8, 16, 32, 64),
 ):
     """Full-detection source: raw frames -> SgdetFrontend -> (entry, fmaps, gt).
 
     ``dataset`` provides gt_annotations + load_video_frames (ActionGenome).
-    The detector chunk shape is padded to /16 like the reference's blob.
+    Frames pad spatially to a fixed canvas (``pick_canvas``) and temporally
+    to a frame-count bucket, so the detector compiles once per
+    (canvas, bucket) pair instead of once per video shape; the true (h, w)
+    still bounds proposal clipping and ``num_frames`` masks the padding
+    frames' detections.
     """
     rng = np.random.RandomState(seed)
     stats = SourceStats()
@@ -226,14 +256,20 @@ def make_sgdet_source(
                 continue
             frames, scale = dataset.load_video_frames(i)
             f, h, w, _ = frames.shape
-            h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
-            pad = np.zeros((f, h16, w16, 3), np.float32)
-            pad[:, :h, :w] = frames
+            canvas = pick_canvas(h, w, canvases)
+            if canvas is None:
+                canvas = (-(-h // 16) * 16, -(-w // 16) * 16)
+            fpad = next(
+                (b for b in frame_buckets
+                 if f <= b <= entry_cap.max_frames), f,
+            )
+            pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
+            pad[:f, :h, :w] = frames
             try:
                 entry, fmaps = frontend(
-                    jnp.asarray(pad), jnp.array([float(h16), float(w16)]),
+                    jnp.asarray(pad), jnp.array([float(h), float(w)]),
                     scale, gt_annotation=ann, is_train=is_train,
-                    video_size=(w / scale, h / scale),
+                    video_size=(w / scale, h / scale), num_frames=f,
                 )
             except ValueError:  # over-capacity detections
                 stats.skipped += 1

@@ -124,7 +124,8 @@ def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
     detect = make_detect_fn(model, caps)
 
     @jax.jit
-    def test_entry(variables, frames, im_hw, im_scale, video_size):
+    def test_entry(variables, frames, im_hw, im_scale, video_size,
+                   num_frames):
         dets = detect(variables, frames, im_hw, im_scale)
         f, d = dets["mask"].shape
         cap = entry_cap
@@ -132,6 +133,10 @@ def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
             raise ValueError(
                 f"entry capacity {cap.max_objs} < {f}x{d} detection slots"
             )
+        # frames beyond num_frames are canvas padding (frame-count buckets
+        # bound the compile set); their detections are dropped here
+        frame_valid = jnp.arange(f) < num_frames
+        dets["mask"] = dets["mask"] & frame_valid[:, None]
         mask_flat = dets["mask"].reshape(-1)
         # valid rows first, frame-major slot order preserved (stable)
         order = jnp.argsort(jnp.where(mask_flat, 0, 1), stable=True)
@@ -161,9 +166,9 @@ def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
             pred_labels=pred_labels,
             features=feats,
             obj_mask=valid,
-            frame_mask=jnp.arange(cap.max_frames) < f,
+            frame_mask=jnp.arange(cap.max_frames) < num_frames,
             im_scale=jnp.asarray(im_scale, jnp.float32),
-            num_frames=jnp.asarray(f, jnp.int32),
+            num_frames=jnp.asarray(num_frames, jnp.int32),
             video_size=jnp.asarray(video_size, jnp.float32),
         )
         return e, dets["base_feat"], n
@@ -263,7 +268,12 @@ class SgdetFrontend:
 
     def __call__(self, frames, im_hw, im_scale, gt_annotation=None,
                  is_train=False, video_size=(600.0, 400.0),
-                 device_pack=True):
+                 device_pack=True, num_frames=None):
+        """``num_frames``: true frame count when ``frames`` is padded to a
+        frame-count bucket (canvas batching bounds the jit compile set);
+        detections in padding frames are masked out."""
+        if num_frames is None:
+            num_frames = frames.shape[0]
         if not is_train and device_pack \
                 and self.entry_cap.max_objs >= frames.shape[0] * self.caps.dets_per_frame:
             # whole test frontend on device: no host sync between the
@@ -271,6 +281,7 @@ class SgdetFrontend:
             entry, base_feat, _ = self.test_entry_device(
                 self.variables, frames, im_hw, jnp.asarray(im_scale),
                 jnp.asarray(video_size, jnp.float32),
+                jnp.asarray(num_frames, jnp.int32),
             )
             return entry, base_feat
         dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
@@ -280,7 +291,10 @@ class SgdetFrontend:
         base_feat = dets.pop("base_feat")
         dets = {k: np.asarray(v) for k, v in dets.items()}
         dets["base_feat"] = base_feat
-        f = frames.shape[0]
+        dets["mask"] = dets["mask"] & (
+            np.arange(frames.shape[0]) < num_frames
+        )[:, None]
+        f = num_frames
         frame_boxes = [dets["boxes"][i][dets["mask"][i]] for i in range(f)]
         frame_feats = [dets["features"][i][dets["mask"][i]] for i in range(f)]
         frame_scores = [dets["scores"][i][dets["mask"][i]] for i in range(f)]
