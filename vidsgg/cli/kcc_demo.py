@@ -78,16 +78,21 @@ def main(argv=None):
 
     all_preds = {}
     state = None
+    from vidsgg.cli.data_source import pick_canvas
+
     for vi in range(len(ds)):
         frames, scale, name = ds.load_video_frames(vi)
         frames = frames[: args.max_frames]
         f, h, w, _ = frames.shape
-        h16, w16 = -(-h // 16) * 16, -(-w // 16) * 16
-        pad = np.zeros((f, h16, w16, 3), np.float32)
-        pad[:, :h, :w] = frames
+        # canvas + frame buckets bound the detector compile set across the
+        # demo's arbitrary video resolutions/lengths
+        canvas = pick_canvas(h, w) or (-(-h // 16) * 16, -(-w // 16) * 16)
+        fpad = next((b for b in (8, 16, 32, 64) if f <= b <= args.max_frames), f)
+        pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
+        pad[:f, :h, :w] = frames
         entry, fmaps = frontend(
-            jnp.asarray(pad), jnp.array([float(h16), float(w16)]), scale,
-            is_train=False, video_size=(w / scale, h / scale),
+            jnp.asarray(pad), jnp.array([float(h), float(w)]), scale,
+            is_train=False, video_size=(w / scale, h / scale), num_frames=f,
         )
         if state is None:
             state = create_train_state(
