@@ -113,6 +113,8 @@ def main(argv=None):
     lr = flag("--lr", 1e-4, float)
     seed = flag("--seed", 1123, int)
     max_frames = flag("--max_frames", 0, int)
+    save_path = flag("--save_path", "", str)
+    resume = flag("--resume", "", str)
 
     num_predicates = 8
     num_classes = 10
@@ -160,6 +162,14 @@ def main(argv=None):
     )["params"]
     tx = optax.adamw(lr)
     opt_state = tx.init(params)
+    if resume:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            f"{resume}/vidvrd", {"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        print(f"resumed from {resume}/vidvrd")
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
 
@@ -175,6 +185,17 @@ def main(argv=None):
             f"epoch {epoch}: loss={np.mean(losses):.4f} "
             f"({time.perf_counter() - t0:.1f}s, {len(losses)} chunk steps)"
         )
+
+    if save_path:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ocp.StandardCheckpointer().save(
+            os.path.abspath(f"{save_path}/vidvrd"),
+            {"params": params, "opt_state": opt_state},
+        )
+        print(f"checkpoint written to {save_path}/vidvrd")
 
     ev = VidVRDEvaluator()
     for chunks in videos:
