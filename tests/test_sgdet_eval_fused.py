@@ -75,3 +75,28 @@ def test_fused_sgdet_eval_matches_host():
     ev_d.evaluate_scene_graph(ann, pred_dev)
     for k in ev_h.KS:
         assert ev_h.recall_at(k) == ev_d.recall_at(k)
+
+
+def test_serving_precision_bf16_close_to_f32():
+    """EvalPipeline(compute_dtype=bf16) runs the whole fused sgdet stage in
+    bf16 and stays within bf16 rounding of the f32 predictions."""
+    ann, entry, fmaps = _sgdet_entry(5)
+    cfg = TempuraConfig.for_mode("sgdet", rel_head="gmm", enc_layers=1, dec_layers=1)
+    model = Tempura(cfg)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0), make_optimizer(steps_per_epoch=1)
+    )
+    p32 = EvalPipeline("sgdet", CAP)(state, entry, fmaps, gt_entry=entry)
+    p16 = EvalPipeline("sgdet", CAP, compute_dtype=jnp.bfloat16)(
+        state, entry, fmaps, gt_entry=entry
+    )
+    assert p16["pred_labels"].shape == p32["pred_labels"].shape
+    # object decisions should overwhelmingly agree; distributions within
+    # bf16 tolerance
+    agree = (np.asarray(p16["pred_labels"]) == np.asarray(p32["pred_labels"])).mean()
+    assert agree > 0.9
+    np.testing.assert_allclose(
+        np.asarray(p16["attention_distribution"], np.float32),
+        np.asarray(p32["attention_distribution"], np.float32),
+        atol=0.08,
+    )

@@ -31,6 +31,9 @@ from vidsgg.train.eval_pipeline import EvalPipeline
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic, max_videos, ckpt = 0, None, None
+    bf16 = "--bf16" in argv
+    if bf16:
+        argv.remove("--bf16")
     for flag, cast in (("--synthetic", int), ("--max_videos", int), ("--ckpt", str)):
         if flag in argv:
             i = argv.index(flag)
@@ -97,7 +100,11 @@ def main(argv=None):
         state = restore_checkpoint(ckpt, state, "best_recall")
         print(f"restored checkpoint from {ckpt} (incl. memory banks)")
 
-    pipeline = EvalPipeline(cfg.mode, cap)
+    import jax.numpy as jnp
+
+    pipeline = EvalPipeline(
+        cfg.mode, cap, compute_dtype=jnp.bfloat16 if bf16 else None
+    )
     evs = get_ag_evaluators(cfg.mode, output_dir=None)
     tc_s, tc_c = [], []
     t0 = time.time()
