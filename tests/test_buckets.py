@@ -94,3 +94,19 @@ def test_prefetch_forwards_stats():
     list(wrapped())
     assert wrapped.stats is src.stats
     assert wrapped.stats.yielded == 1
+
+
+def test_pick_canvas():
+    from vidsgg.cli.data_source import DEFAULT_CANVASES, pick_canvas
+
+    # smallest covering canvas by area
+    assert pick_canvas(600, 800) == (608, 816)
+    assert pick_canvas(608, 816) == (608, 816)
+    assert pick_canvas(600, 1000) == (608, 1008)
+    assert pick_canvas(700, 500) == (816, 608)
+    assert pick_canvas(810, 810) == (816, 816)
+    # nothing fits -> caller falls back to exact /16 padding
+    assert pick_canvas(2000, 2000) is None
+    # every canvas is /16 aligned (a detector stride invariant)
+    for ch, cw in DEFAULT_CANVASES:
+        assert ch % 16 == 0 and cw % 16 == 0
