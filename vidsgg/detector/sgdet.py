@@ -287,9 +287,11 @@ class SgdetFrontend:
         dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
         # base_feat stays on device (it is only consumed by later jit
         # regions; pulling ~200 MB/video of feature maps through the host
-        # was the round-1 frontend's dominant hidden cost)
+        # was the round-1 frontend's dominant hidden cost). The rest comes
+        # over in ONE batched transfer — per-array np.asarray paid one
+        # ~28 ms tunnel round trip each.
         base_feat = dets.pop("base_feat")
-        dets = {k: np.asarray(v) for k, v in dets.items()}
+        dets = jax.device_get(dets)
         dets["base_feat"] = base_feat
         dets["mask"] = dets["mask"] & (
             np.arange(frames.shape[0]) < num_frames
@@ -391,19 +393,22 @@ class SgdetFrontend:
             frame_boxes, frame_labels, gt_annotation
         )
         f = len(frame_boxes)
-        boxes, labels, scores, feats = [], [], [], []
+        boxes, labels, scores, feats, dist_rows = [], [], [], [], []
         frame_offset = []
         sup_rois, sup_slots = [], []  # one padded supply() call per video
         for i in range(f):
             frame_offset.append(len(boxes))
             nb = len(frame_boxes[i])
-            for b, ft, sc, al in zip(
-                frame_boxes[i], frame_feats[i], frame_scores[i], assigned[i]
+            frame_dists = dets["dists"][i][dets["mask"][i]]
+            for b, ft, sc, al, dd in zip(
+                frame_boxes[i], frame_feats[i], frame_scores[i], assigned[i],
+                frame_dists,
             ):
                 boxes.append(np.concatenate([[i], b]))
                 labels.append(al)
                 scores.append(sc)
                 feats.append(ft)
+                dist_rows.append(dd)
             # SUPPLY: append undetected GT boxes with unit scores; features
             # are re-pooled in one fixed-capacity batch after the loop
             if supply[i]:
@@ -422,6 +427,7 @@ class SgdetFrontend:
                     )
                     sup_slots.append(len(feats))
                     feats.append(None)
+                    dist_rows.append(None)
                 found[i] = list(found[i]) + list(
                     range(nb, nb + len(supply[i]))
                 )
@@ -435,20 +441,33 @@ class SgdetFrontend:
                 )
             rois_pad = np.zeros((self.caps.supply_cap, 5), np.float32)
             rois_pad[:k] = np.asarray(sup_rois, np.float32)
-            sup_feats, _ = self.supply(
-                self.variables, jnp.asarray(dets["base_feat"]), jnp.asarray(rois_pad)
+            sup_out = jax.device_get(  # one transfer for feats + probs
+                self.supply(
+                    self.variables, jnp.asarray(dets["base_feat"]),
+                    jnp.asarray(rois_pad),
+                )
             )
-            sup_feats = np.asarray(sup_feats)[:k]
-            for slot, ftr in zip(sup_slots, sup_feats):
+            sup_feats = sup_out[0][:k]
+            # supply() softmaxes over all classes incl background; the
+            # entry's distribution is softmax over 1..C-1 (:284-286) —
+            # renormalizing the foreground slice is algebraically the same
+            sup_probs = sup_out[1][:k, 1:]
+            sup_probs = sup_probs / np.clip(
+                sup_probs.sum(1, keepdims=True), 1e-12, None
+            )
+            for slot, ftr, pr in zip(sup_slots, sup_feats, sup_probs):
                 feats[slot] = ftr
+                dist_rows[slot] = pr
 
         boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
         labels = np.asarray(labels, np.int64)
         scores = np.asarray(scores, np.float32)
         feats = np.asarray(feats, np.float32).reshape(-1, 2048)
-        logits = np.asarray(self.class_score(self.variables, jnp.asarray(feats)))
-        ex = np.exp(logits[:, 1:] - logits[:, 1:].max(1, keepdims=True))
-        dists = ex / ex.sum(1, keepdims=True)
+        # detected rows reuse the detect jit's on-device class distribution
+        # (same class_scores(features) softmax — the reference recomputes it
+        # host-side, object_detector.py:284-286); supply rows use supply()'s
+        # probs. No extra class_score dispatch or feature round trip.
+        dists = np.asarray(dist_rows, np.float32).reshape(-1, 36)
 
         # pair construction from GT relations (:231-253)
         im_idx, pairs, rels = [], [], []
