@@ -39,6 +39,9 @@ H, W = 608, 1008     # min-side-600 AG resolution, padded to /16
 DETS_PER_FRAME = 8   # detections kept per frame (AG sgdet-scale load)
 MAX_OBJS = FRAMES * DETS_PER_FRAME  # random weights fill every slot
 MAX_PAIRS = 48
+# structural per-frame pair bound after the sgdet postprocess 2x expansion
+# (pairs/frame <= 2*dets_per_frame - 1) -> grouped per-frame union pooling
+UNION_PPF = 2 * DETS_PER_FRAME
 
 
 def _flops(jitted, *args):
@@ -89,14 +92,14 @@ def build():
 
     def e2e_video():
         e, fm = frontend(video, im_hw, 1.0, is_train=False)
-        e2, out, overflow = sgdet_fused_stage(state, e, fm, True)
+        e2, out, overflow = sgdet_fused_stage(state, e, fm, True, UNION_PPF)
         return out["contacting_distribution"]
 
     def detect_only():
         return frontend.detect(det_vars, video, im_hw, jnp.asarray(1.0))["scores"]
 
     def relation_only():
-        _, out, _ = sgdet_fused_stage(state, entry, fmaps, True)
+        _, out, _ = sgdet_fused_stage(state, entry, fmaps, True, UNION_PPF)
         return out["contacting_distribution"]
 
     def sync(x):
@@ -106,7 +109,7 @@ def build():
         return float(jnp.asarray(x).sum())
 
     flops_detect = _flops(frontend.detect, det_vars, video, im_hw, jnp.asarray(1.0))
-    flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True)
+    flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True, UNION_PPF)
 
     return e2e_video, detect_only, relation_only, sync, flops_detect + flops_rel
 

@@ -100,3 +100,52 @@ def test_serving_precision_bf16_close_to_f32():
         np.asarray(p32["attention_distribution"], np.float32),
         atol=0.08,
     )
+
+
+def test_grouped_union_features_match_general():
+    """Per-frame grouped union pooling == the general flat path, and the
+    overflow flag fires exactly when a frame exceeds the bound."""
+    from vidsgg.detector.featurize import (
+        pair_union_features, pair_union_features_grouped,
+    )
+
+    ann, entry, fmaps = _sgdet_entry(7)
+    want_u, want_b, want_m = pair_union_features(entry, fmaps)
+    got_u, got_b, got_m, ovf = pair_union_features_grouped(entry, fmaps, 16)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b))
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m))
+
+    p_valid = int(np.asarray(entry.pair_mask).sum())
+    max_per_frame = max(
+        np.bincount(np.asarray(entry.im_idx)[:p_valid]).max(), 1
+    )
+    if max_per_frame > 1:
+        _, _, _, ovf2 = pair_union_features_grouped(
+            entry, fmaps, int(max_per_frame) - 1
+        )
+        assert bool(ovf2)
+
+
+def test_fused_sgdet_eval_grouped_union_matches():
+    """The fused stage with union_pairs_per_frame set produces the same
+    predictions as the general union path."""
+    ann, entry, fmaps = _sgdet_entry(3)
+    cfg = TempuraConfig.for_mode("sgdet", rel_head="gmm", enc_layers=1, dec_layers=1)
+    model = Tempura(cfg)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0), make_optimizer(steps_per_epoch=1)
+    )
+    base = EvalPipeline("sgdet", CAP)(state, entry, fmaps, gt_entry=entry)
+    grp = EvalPipeline("sgdet", CAP, union_pairs_per_frame=16)(
+        state, entry, fmaps, gt_entry=entry
+    )
+    for k in ("pred_labels", "pair_idx"):
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(grp[k]))
+    np.testing.assert_allclose(
+        np.asarray(grp["contacting_distribution"]),
+        np.asarray(base["contacting_distribution"]),
+        rtol=1e-4, atol=1e-5,
+    )

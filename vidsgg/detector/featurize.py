@@ -55,6 +55,63 @@ def pair_union_features(
     return union_feat, union_boxes, spatial_masks
 
 
+def pair_union_features_grouped(
+    entry: Entry, fmaps: jnp.ndarray, pairs_per_frame: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact :func:`pair_union_features` via per-frame grouped pooling.
+
+    The flat pair list mixes frames, which forces the general batch-embedded
+    ROIAlign (every chunk contracts against all B*H rows — 6.5 ms at eval
+    shapes). Here pairs scatter into a [F, pairs_per_frame] grid by frame,
+    pool through the per-frame fused one-GEMM ROIAlign, and gather back to
+    flat pair order (~2 ms at the same shapes).
+
+    Returns (union_feat, union_boxes, spatial_masks, overflow); ``overflow``
+    is True when some frame holds more than ``pairs_per_frame`` valid pairs
+    — the caller must then fall back to the exact general path (the fused
+    sgdet stage already reroutes to the host oracle on overflow).
+    """
+    from vidsgg.ops.roi_align import roi_align_fused
+
+    pair = entry.pair_idx
+    pm = entry.pair_mask
+    b = entry.boxes[:, 1:]
+    sub = b[pair[:, 0]]
+    obj = b[pair[:, 1]]
+    union = jnp.concatenate(
+        [jnp.minimum(sub[:, 0:2], obj[:, 0:2]), jnp.maximum(sub[:, 2:4], obj[:, 2:4])],
+        axis=1,
+    )
+    union_boxes = jnp.concatenate(
+        [entry.im_idx[:, None].astype(jnp.float32), union * entry.im_scale], axis=1
+    )
+
+    p = pair.shape[0]
+    f = fmaps.shape[0]
+    im = entry.im_idx.astype(jnp.int32)
+    idx = jnp.arange(p)
+    # rank of each pair among valid same-frame pairs (O(P^2) bools — tiny)
+    slot = ((im[None, :] == im[:, None]) & (idx[None, :] < idx[:, None])
+            & pm[None, :]).sum(1)
+    overflow = (pm & (slot >= pairs_per_frame)).any()
+    slot = jnp.minimum(slot, pairs_per_frame - 1)
+    frame_ext = jnp.where(pm, im, f)  # invalid pairs land on a dump row
+
+    grid = jnp.zeros((f + 1, pairs_per_frame, 4), jnp.float32)
+    grid = grid.at[frame_ext, slot].set(union_boxes[:, 1:] * pm[:, None])
+    pooled = roi_align_fused(
+        fmaps, grid[:f], out_size=C.ROI_ALIGN_OUT,
+        spatial_scale=C.ROI_ALIGN_SCALE,
+    )  # [F, P_f, 7, 7, Cf]
+    union_feat = pooled[jnp.minimum(frame_ext, f - 1), slot]
+    union_feat = union_feat * pm[:, None, None, None]
+
+    pair_rois = jnp.concatenate([sub, obj], axis=1)
+    spatial_masks = draw_union_masks(pair_rois, C.SPATIAL_MASK_SIZE) - 0.5
+    spatial_masks = spatial_masks * pm[:, None, None, None]
+    return union_feat, union_boxes, spatial_masks, overflow
+
+
 def featurize_pair_entry(entry: Entry, fmaps: jnp.ndarray) -> Entry:
     """Fill union_feat / spatial_masks of an entry whose boxes, pairs and
     per-object features are already set (the sgdet train path: detector

@@ -135,11 +135,17 @@ def _sgcls_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
     return entry2, out
 
 
-def _sgdet_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
+def _sgdet_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool,
+                 union_ppf: int | None = None):
     """Whole sgdet test step as ONE jit region: OSPU classify -> on-device
     clean_class + grouped NMS + relabel + pair rebuild (expanded object
     axis) -> union refeaturize -> relation forward. Returns an overflow
-    flag; the caller re-runs the exact host path on (rare) truncation."""
+    flag; the caller re-runs the exact host path on (rare) truncation.
+
+    ``union_ppf``: optional static per-frame pair bound enabling the
+    grouped per-frame union pooling (one fused ROIAlign GEMM per frame
+    instead of the batch-embedded general path); frames holding more pairs
+    raise the overflow flag and fall back like any other truncation."""
     from vidsgg.models.postprocess_device import sgdet_postprocess_device
 
     aux = state.apply_fn(
@@ -154,7 +160,15 @@ def _sgdet_fused(state: TrainState, entry: Entry, fmaps, needs_union: bool):
         entry, aux["distribution"], aux["object_mem_features"]
     )
     if needs_union:
-        union_feat, _, spatial_masks = pair_union_features(entry2, fmaps)
+        if union_ppf is not None:
+            from vidsgg.detector.featurize import pair_union_features_grouped
+
+            union_feat, _, spatial_masks, u_ovf = pair_union_features_grouped(
+                entry2, fmaps, union_ppf
+            )
+            overflow |= u_ovf
+        else:
+            union_feat, _, spatial_masks = pair_union_features(entry2, fmaps)
         entry2 = entry2.replace(union_feat=union_feat, spatial_masks=spatial_masks)
     out = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -173,7 +187,7 @@ classify_stage = jax.jit(_classify_stage)
 relation_stage = jax.jit(_relation_stage)
 relation_stage_no_union = jax.jit(_relation_stage_no_union)
 sgcls_fused_stage = jax.jit(_sgcls_fused, static_argnums=(3,))
-sgdet_fused_stage = jax.jit(_sgdet_fused, static_argnums=(3,))
+sgdet_fused_stage = jax.jit(_sgdet_fused, static_argnums=(3, 4))
 
 
 def _pad_rows(arr: np.ndarray, cap: int) -> np.ndarray:
@@ -225,6 +239,7 @@ class EvalPipeline:
     needs_union: bool = True  # False for TEAT-GT (no union visual stream)
     device_postprocess: bool = True  # sgcls relabeling fused into one jit
     compute_dtype: object = None  # e.g. jnp.bfloat16 serving-precision mode
+    union_pairs_per_frame: int | None = None  # grouped per-frame union pooling
 
     def __call__(self, state: TrainState, entry: Entry, fmaps, gt_entry: Entry | None = None):
         """Run test-time inference for one video.
@@ -255,7 +270,8 @@ class EvalPipeline:
 
         if self.mode == "sgdet" and self.device_postprocess:
             entry2, out, overflow = sgdet_fused_stage(
-                state, entry, fmaps, self.needs_union
+                state, entry, fmaps, self.needs_union,
+                self.union_pairs_per_frame,
             )
             if not bool(overflow):  # rare clean_class blow-up -> host path
                 pred = to_eval_pred(entry2, out, self.mode)
