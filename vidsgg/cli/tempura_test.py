@@ -103,7 +103,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     pipeline = EvalPipeline(
-        cfg.mode, cap, compute_dtype=jnp.bfloat16 if bf16 else None
+        cfg.mode, cap, compute_dtype=jnp.bfloat16 if bf16 else None,
+        # sgdet device postprocess expands the object axis 2x, so pairs per
+        # frame are bounded by 2*dets_per_frame - 1 -> grouped union pooling
+        union_pairs_per_frame=32 if cfg.mode == "sgdet" else None,
     )
     evs = get_ag_evaluators(cfg.mode, output_dir=None)
     tc_s, tc_c = [], []
