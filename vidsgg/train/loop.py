@@ -34,6 +34,10 @@ from vidsgg.train.metrics import MetricsWriter
 from vidsgg.train.state import TrainState, obj_memory_dim
 from vidsgg.train.steps import LossFlags, eval_step_jit, make_train_step
 
+# accumulate_memory is pure device math (debias/memory.py docstring: "call
+# under jit") — unjitted it dispatches dozens of small ops per video
+accumulate_memory_jit = jax.jit(accumulate_memory, static_argnums=(3, 4, 5))
+
 
 @dataclasses.dataclass
 class TrainLoopConfig:
@@ -77,17 +81,21 @@ def run_training(
             state, metrics = train_step(state, entry, sub)
             if loop_cfg.mem_enabled:
                 out_unc = eval_step_jit(state, entry, True)
-                acc = accumulate_memory(
+                acc = accumulate_memory_jit(
                     acc, entry, out_unc,
                     loop_cfg.rel_mem_weight_type, loop_cfg.obj_mem_weight_type,
-                    obj_mem=loop_cfg.obj_mem_compute,
+                    loop_cfg.obj_mem_compute,
                 )
-            window.append({k: float(v) for k, v in metrics.items()})
+            # keep device scalars; fetch one batched transfer per log window
+            # (a per-metric float() here costs one ~28 ms tunnel round trip
+            # EACH — it made the loop ~15x slower than the train step)
+            window.append(metrics)
             step_i += 1
             if step_i % loop_cfg.log_iter == 0:
+                recent = jax.device_get(window[-loop_cfg.log_iter:])
                 mean = {
-                    k: float(np.mean([w[k] for w in window[-loop_cfg.log_iter:]]))
-                    for k in window[-1]
+                    k: float(np.mean([w[k] for w in recent]))
+                    for k in recent[-1]
                 }
                 dt = (time.time() - t0) / max(len(window), 1)
                 writer.text(
