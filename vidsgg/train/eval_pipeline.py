@@ -315,17 +315,17 @@ class EvalPipeline:
         + temporal_consistency.py:34-37)."""
         if gt_entry is None:
             return pred
-        pgt = int(np.asarray(gt_entry.pair_mask).sum())
-        pred["attention_gt"] = [
-            [int(x)] for x in np.asarray(gt_entry.attention_gt)[:pgt]
-        ]
+        pm, att, sp, con = jax.device_get((  # one transfer, not four
+            gt_entry.pair_mask, gt_entry.attention_gt,
+            gt_entry.spatial_gt, gt_entry.contacting_gt,
+        ))
+        pgt = int(np.asarray(pm).sum())
+        pred["attention_gt"] = [[int(x)] for x in np.asarray(att)[:pgt]]
         pred["spatial_gt"] = [
-            np.where(r > 0)[0].tolist()
-            for r in np.asarray(gt_entry.spatial_gt)[:pgt]
+            np.where(r > 0)[0].tolist() for r in np.asarray(sp)[:pgt]
         ]
         pred["contacting_gt"] = [
-            np.where(r > 0)[0].tolist()
-            for r in np.asarray(gt_entry.contacting_gt)[:pgt]
+            np.where(r > 0)[0].tolist() for r in np.asarray(con)[:pgt]
         ]
         return pred
 
