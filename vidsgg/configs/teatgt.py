@@ -48,12 +48,23 @@ class TeatGTRunConfig:
     encoder_ffn_embed_dim: int = 768
     return_attention: bool = True
     seed: int = 1123
+    # TPU-native: videos per data-parallel group (1 = single device,
+    # 0 = all local devices)
+    data_parallel: int = 1
+    # rehearsal/dev hooks (see configs/tempura.py)
+    frame_size: int = 600
+    tiny_detector: bool = False
+    bucket_frames: int = 64
 
     def __post_init__(self):
         if self.mode != "predcls":  # teatgt_config.py:11-14
             self.tracking = True
             self.encoder_layers = 6
             self.encoder_attention_heads = 16
+        if self.data_parallel == 0:
+            import jax
+
+            self.data_parallel = jax.device_count()
 
     @classmethod
     def from_args(cls, argv=None) -> "TeatGTRunConfig":
@@ -91,6 +102,10 @@ class TeatGTRunConfig:
         p.add_argument("--encoder_ffn_embed_dim", type=int, default=768)
         p.add_argument("--return_attention", action="store_true", default=True)
         p.add_argument("--seed", type=int, default=1123)
+        p.add_argument("--data_parallel", type=int, default=1)
+        p.add_argument("--frame_size", type=int, default=600)
+        p.add_argument("--tiny_detector", action="store_true")
+        p.add_argument("--bucket_frames", type=int, default=64)
         return cls(**vars(p.parse_args(argv)))
 
     def model_config(self, caps: ClipCaps | None = None) -> TeatGTConfig:
@@ -121,4 +136,5 @@ class TeatGTRunConfig:
             use_ctl_loss=self.use_ctl_loss,
             use_cons_str_loss=self.use_cons_str_loss,
             use_cons_sem_loss=self.use_cons_sem_loss,
+            ctl_variant="teatgt",  # 0.25x + attention_con_loss (:176-179)
         )

@@ -39,6 +39,48 @@ from vidsgg.train.steps import LossFlags, eval_step_jit, make_train_step
 accumulate_memory_jit = jax.jit(accumulate_memory, static_argnums=(3, 4, 5))
 
 
+def _accumulate_memory_batch(acc, batch_entry, batch_out, rel_wt, obj_wt,
+                             obj_compute):
+    """Fold a stacked batch of (entry, unc-forward output) pairs into the
+    memory accumulator — a scan over the batch axis of the data-parallel
+    uncertainty pass (same algebra as the per-video fold)."""
+
+    def body(a, eo):
+        e, o = eo
+        return accumulate_memory(a, e, o, rel_wt, obj_wt, obj_compute), None
+
+    acc, _ = jax.lax.scan(body, acc, (batch_entry, batch_out))
+    return acc
+
+
+accumulate_memory_batch_jit = jax.jit(
+    _accumulate_memory_batch, static_argnums=(3, 4, 5)
+)
+
+
+def _entry_sig(entry) -> tuple:
+    """Shape/dtype signature — entries from the same capacity bucket share
+    one signature and can stack into one data-parallel batch."""
+    return tuple(
+        (tuple(x.shape), str(getattr(x, "dtype", ""))) for x in jax.tree.leaves(entry)
+    )
+
+
+class MetricWindow(list):
+    """Sliding window of per-step metric dicts (device scalars). Bounded to
+    the last ``size`` entries: only those are ever read at log time, and
+    each dict pins live device buffers — unbounded growth held ~50k tiny
+    buffers per AG epoch."""
+
+    def __init__(self, size: int):
+        super().__init__()
+        self.size = max(int(size), 1)
+
+    def push(self, metrics: dict):
+        self.append(metrics)
+        del self[: -self.size]
+
+
 @dataclasses.dataclass
 class TrainLoopConfig:
     mode: str = "predcls"
@@ -50,6 +92,13 @@ class TrainLoopConfig:
     obj_mem_compute: bool = False
     mem_enabled: bool = True
     compute_temporal_consistency: bool = True
+    # >1 enables data-parallel training: same-bucket videos batch into
+    # groups of this size, sharded over a 1-D ICI mesh (runtime/parallel.py)
+    # with one optimizer step per group (gradients averaged across the
+    # group's videos — the standard multi-chip generalization of the
+    # reference's one-video steps). Epoch remainders fall back to the
+    # single-device step; predcls validation shards the same way.
+    data_parallel: int = 1
 
 
 VideoBatch = tuple[Entry, np.ndarray, list]  # (entry, fmaps, gt_annotation)
@@ -71,35 +120,49 @@ def run_training(
     best_recall, best_mrecall = 0.0, 0.0
     obj_dim = obj_memory_dim(model_cfg) if model_cfg is not None else 1024
 
+    dp = max(int(loop_cfg.data_parallel), 1)
+    par_step = par_unc = par_eval = stack_entries = None
+    if dp > 1:
+        from vidsgg.runtime.mesh import make_mesh, replicate_sharding
+        from vidsgg.runtime.parallel import (
+            make_parallel_eval_step,
+            make_parallel_train_step,
+            stack_entries,
+        )
+
+        mesh = make_mesh(dp)
+        par_step = make_parallel_train_step(flags, mesh)
+        par_eval = make_parallel_eval_step(mesh)
+        if loop_cfg.mem_enabled:
+            par_unc = make_parallel_eval_step(mesh, unc=True)
+        state = jax.device_put(state, replicate_sharding(mesh))
+
     step_i = 0
     for epoch in range(loop_cfg.nepoch):
         acc = MemoryAccumulator.zeros(obj_dim=obj_dim)
-        window = []
+        window = MetricWindow(loop_cfg.log_iter)
+        epoch_steps = 0
+        videos_seen = 0
         t0 = time.time()
-        for entry, fmaps, gt in train_data():
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, entry, sub)
-            if loop_cfg.mem_enabled:
-                out_unc = eval_step_jit(state, entry, True)
-                acc = accumulate_memory_jit(
-                    acc, entry, out_unc,
-                    loop_cfg.rel_mem_weight_type, loop_cfg.obj_mem_weight_type,
-                    loop_cfg.obj_mem_compute,
-                )
+
+        def log_metrics(metrics, n_videos):
+            nonlocal step_i, epoch_steps, videos_seen
             # keep device scalars; fetch one batched transfer per log window
             # (a per-metric float() here costs one ~28 ms tunnel round trip
             # EACH — it made the loop ~15x slower than the train step)
-            window.append(metrics)
+            window.push(metrics)
             step_i += 1
+            epoch_steps += 1
+            videos_seen += n_videos
             if step_i % loop_cfg.log_iter == 0:
                 recent = jax.device_get(window[-loop_cfg.log_iter:])
                 mean = {
                     k: float(np.mean([w[k] for w in recent]))
                     for k in recent[-1]
                 }
-                dt = (time.time() - t0) / max(len(window), 1)
+                dt = (time.time() - t0) / max(videos_seen, 1)
                 writer.text(
-                    f"epoch {epoch} step {step_i}  {dt:.3f}s/batch  "
+                    f"epoch {epoch} step {step_i}  {dt:.3f}s/video  "
                     + "  ".join(f"{k}={v:.4f}" for k, v in mean.items())
                 )
                 writer.scalars(
@@ -111,6 +174,51 @@ def run_training(
                     },
                     step_i,
                 )
+
+        def single_video_step(state, acc, entry, rng):
+            state, metrics = train_step(state, entry, rng)
+            if loop_cfg.mem_enabled:
+                out_unc = eval_step_jit(state, entry, True)
+                acc = accumulate_memory_jit(
+                    acc, entry, out_unc,
+                    loop_cfg.rel_mem_weight_type, loop_cfg.obj_mem_weight_type,
+                    loop_cfg.obj_mem_compute,
+                )
+            return state, acc, metrics
+
+        pending: dict[tuple, list] = {}
+        for entry, fmaps, gt in train_data():
+            rng, sub = jax.random.split(rng)
+            if dp > 1:
+                group = pending.setdefault(_entry_sig(entry), [])
+                group.append(entry)
+                if len(group) < dp:
+                    continue
+                batch = stack_entries(group)
+                group.clear()
+                state, metrics = par_step(
+                    state, batch, jax.random.split(sub, dp)
+                )
+                if loop_cfg.mem_enabled:
+                    out_unc = par_unc(state, batch)
+                    acc = accumulate_memory_batch_jit(
+                        acc, batch, out_unc,
+                        loop_cfg.rel_mem_weight_type,
+                        loop_cfg.obj_mem_weight_type,
+                        loop_cfg.obj_mem_compute,
+                    )
+                log_metrics(metrics, dp)
+            else:
+                state, acc, metrics = single_video_step(state, acc, entry, sub)
+                log_metrics(metrics, 1)
+        # epoch remainder: groups that never filled flush through the
+        # single-device step (the replicated state is a valid input to it)
+        for group in pending.values():
+            for entry in group:
+                rng, sub = jax.random.split(rng)
+                state, acc, metrics = single_video_step(state, acc, entry, sub)
+                log_metrics(metrics, 1)
+        pending.clear()
 
         # honest skip accounting (over-capacity videos dropped by the source)
         stats = getattr(train_data, "stats", None)
@@ -129,8 +237,8 @@ def run_training(
         # ---- validation ----
         ev_with, ev_semi, ev_no = get_ag_evaluators(loop_cfg.mode)
         tc_s, tc_c = [], []
-        for entry, fmaps, gt in val_data():
-            pred = pipeline(state, entry, fmaps, gt_entry=entry)
+
+        def consume_pred(pred, gt):
             for ev in (ev_with, ev_semi, ev_no):
                 ev.evaluate_scene_graph(gt, pred)
             if loop_cfg.compute_temporal_consistency and loop_cfg.mode != "sgdet":
@@ -138,6 +246,36 @@ def run_training(
                 if s is not None:
                     tc_s.extend(s)
                     tc_c.extend(c)
+
+        shard_val = dp > 1 and loop_cfg.mode == "predcls"
+        if shard_val:
+            # predcls eval is one jit region per video — shard whole-video
+            # batches over the mesh, pull ONE batched transfer, then slice
+            # per video for the host evaluator. sgcls/sgdet interleave host
+            # postprocessing and stay per-video through the pipeline.
+            from vidsgg.eval.adapter import to_eval_pred
+
+            val_pending: dict[tuple, list] = {}
+            for entry, fmaps, gt in val_data():
+                group = val_pending.setdefault(_entry_sig(entry), [])
+                group.append((entry, gt))
+                if len(group) < dp:
+                    continue
+                batch = stack_entries([e for e, _ in group])
+                out = jax.device_get(par_eval(state, batch))
+                for i, (e, g) in enumerate(group):
+                    consume_pred(
+                        to_eval_pred(e, jax.tree.map(lambda a: a[i], out),
+                                     "predcls"),
+                        g,
+                    )
+                group.clear()
+            for group in val_pending.values():
+                for e, g in group:
+                    consume_pred(pipeline(state, e, None, gt_entry=e), g)
+        else:
+            for entry, fmaps, gt in val_data():
+                consume_pred(pipeline(state, entry, fmaps, gt_entry=entry), gt)
         recall = ev_with.recall_at(20)
         mrecall = ev_with.calc_mrecall()[20]
         writer.text(

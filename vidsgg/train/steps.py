@@ -31,6 +31,11 @@ class LossFlags:
     use_cons_str_loss: bool = False
     use_cons_sem_loss: bool = False
     cons_weight: float = 2500.0
+    # relation-contrastive ('ctl') assembly variant: the two train scripts
+    # differ — TEMPURA uses 0.2x spatial+contact (TEMPURA_train.py:209-212,
+    # attention commented out), TEAT-GT uses 0.25x and includes
+    # attention_con_loss (TEATGT_train.py:176-179)
+    ctl_variant: str = "tempura"
     # FAVOR+ projection redraw cadence (the reference's ProjectionUpdater):
     # the 'performer' RNG stream changes every N steps, so Performer
     # attention keeps one projection for N steps then redraws
@@ -64,10 +69,16 @@ def assemble_losses(out: dict, entry: Entry, flags: LossFlags) -> dict:
         out["contacting_distribution"], entry.contacting_gt, pm
     )
     if flags.use_ctl_loss:
-        losses["spatial_con_loss"] = 0.2 * contrastive_loss(
+        w = 0.25 if flags.ctl_variant == "teatgt" else 0.2
+        if flags.ctl_variant == "teatgt":
+            # TEATGT_train.py:177 — attention term keyed on the class index
+            losses["attention_con_loss"] = w * contrastive_loss(
+                out["attention_distribution"], entry.attention_gt, pm
+            )
+        losses["spatial_con_loss"] = w * contrastive_loss(
             out["spatial_distribution"], jnp.argmax(entry.spatial_gt, 1), pm
         )
-        losses["contact_con_loss"] = 0.2 * contrastive_loss(
+        losses["contact_con_loss"] = w * contrastive_loss(
             out["contacting_distribution"], jnp.argmax(entry.contacting_gt, 1), pm
         )
     if flags.use_cons_str_loss and "structure_temp_loss" in out:
