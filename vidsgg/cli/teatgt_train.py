@@ -46,15 +46,15 @@ def main(argv=None):
                                         seed=cfg.seed + 1, shuffle=False)
         steps_per_epoch = synthetic
     else:
-        from vidsgg.cli.data_source import default_buckets, make_ag_source
+        from vidsgg.cli.data_source import (
+            build_detector, default_buckets, make_ag_source,
+        )
         from vidsgg.data.action_genome import ActionGenome
-        from vidsgg.detector.faster_rcnn import FasterRCNN
-        import jax.numpy as jnp
 
         # bucket the data pipeline; clip buffers are sized for the largest
         # bucket (ClipCaps is a static model capacity, so TEAT-GT compute
         # specializes per bucket only through the detector/base stage)
-        buckets = default_buckets(max_frames=64)
+        buckets = default_buckets(max_frames=cfg.bucket_frames)
         cap = buckets[-1]
         clips = ClipCaps(
             clip_size=5,
@@ -65,20 +65,15 @@ def main(argv=None):
         )
 
         train_ds = ActionGenome("train", cfg.datasize, cfg.data_path,
-                                filter_small_box=cfg.mode != "predcls")
+                                filter_small_box=cfg.mode != "predcls",
+                                target_min_side=cfg.frame_size)
         test_ds = ActionGenome("test", cfg.datasize, cfg.data_path,
-                               filter_small_box=cfg.mode != "predcls")
-        det = FasterRCNN()
-        if getattr(cfg, "model_path", None):
-            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
-
-            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
-        else:
-            det_vars = jax.jit(det.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
-                jnp.array([608.0, 1008.0]),
-            )
-            print("WARNING: no detector checkpoint; random detector weights")
+                               filter_small_box=cfg.mode != "predcls",
+                               target_min_side=cfg.frame_size)
+        det, det_vars, canvases = build_detector(
+            getattr(cfg, "model_path", None), tiny=cfg.tiny_detector,
+            frame_size=cfg.frame_size,
+        )
         if cfg.mode == "sgdet":
             # detector boxes + GT assignment + SUPPLY for training (the
             # reference trains sgdet through the detector front-end,
@@ -88,14 +83,18 @@ def main(argv=None):
 
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             train_src = make_sgdet_source(
-                train_ds, cap, frontend, is_train=True, seed=cfg.seed
+                train_ds, cap, frontend, is_train=True, seed=cfg.seed,
+                canvases=canvases,
             )
-            val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False)
+            val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False,
+                                        canvases=canvases)
         else:
             train_src = make_ag_source(train_ds, cap, det, det_vars,
-                                       seed=cfg.seed, buckets=buckets)
+                                       seed=cfg.seed, buckets=buckets,
+                                       canvases=canvases)
             val_src = make_ag_source(test_ds, cap, det, det_vars,
-                                     shuffle=False, buckets=buckets)
+                                     shuffle=False, buckets=buckets,
+                                     canvases=canvases)
         steps_per_epoch = len(train_ds)
 
     model_cfg = cfg.model_config(clips)
@@ -109,7 +108,11 @@ def main(argv=None):
     loop_cfg = TrainLoopConfig(
         mode=cfg.mode, nepoch=cfg.nepoch, log_iter=cfg.log_iter,
         save_path=cfg.save_path, mem_enabled=False,
+        data_parallel=cfg.data_parallel,
     )
+    if cfg.data_parallel > 1:
+        print(f">>> data-parallel over {cfg.data_parallel} devices "
+              f"({jax.device_count()} visible)")
     state = run_training(
         state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
         jax.random.PRNGKey(cfg.seed + 1),

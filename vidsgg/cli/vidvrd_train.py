@@ -115,6 +115,10 @@ def main(argv=None):
     max_frames = flag("--max_frames", 0, int)
     save_path = flag("--save_path", "", str)
     resume = flag("--resume", "", str)
+    # videos-per-group data parallelism (TPU-native; 0 = all local devices)
+    data_parallel = flag("--data_parallel", 1, int)
+    if data_parallel == 0:
+        data_parallel = jax.device_count()
 
     num_predicates = 8
     num_classes = 10
@@ -172,18 +176,53 @@ def main(argv=None):
         print(f"resumed from {resume}/vidvrd")
     train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
+    par_step = stack_entries = None
+    if data_parallel > 1:
+        from vidsgg.runtime.mesh import make_mesh, replicate_sharding
+        from vidsgg.runtime.parallel import (
+            make_generic_parallel_train_step, stack_entries,
+        )
+
+        mesh = make_mesh(data_parallel)
+        par_step = make_generic_parallel_train_step(model, tx, mesh)
+        params = jax.device_put(params, replicate_sharding(mesh))
+        opt_state = jax.device_put(opt_state, replicate_sharding(mesh))
+        print(f">>> data-parallel over {data_parallel} devices")
 
     for epoch in range(nepoch):
         t0 = time.perf_counter()
         losses = []
+        pending = {}
         for vi, chunks in enumerate(videos):
             for e in chunks:
+                rng, sub = jax.random.split(rng)
+                if par_step is not None:
+                    sig = tuple(tuple(x.shape) for x in jax.tree.leaves(e))
+                    group = pending.setdefault(sig, [])
+                    group.append(e)
+                    if len(group) < data_parallel:
+                        continue
+                    batch = stack_entries(group)
+                    group.clear()
+                    params, opt_state, loss = par_step(
+                        params, opt_state, batch,
+                        jax.random.split(sub, data_parallel),
+                    )
+                else:
+                    params, opt_state, loss = train_step(
+                        params, opt_state, e, sub
+                    )
+                losses.append(float(loss))
+        # epoch remainder: same-bucket groups that never filled train on one
+        # device (replicated params are valid inputs to the plain step)
+        for group in pending.values():
+            for e in group:
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = train_step(params, opt_state, e, sub)
                 losses.append(float(loss))
         print(
             f"epoch {epoch}: loss={np.mean(losses):.4f} "
-            f"({time.perf_counter() - t0:.1f}s, {len(losses)} chunk steps)"
+            f"({time.perf_counter() - t0:.1f}s, {len(losses)} steps)"
         )
 
     if save_path:

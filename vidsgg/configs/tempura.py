@@ -57,6 +57,16 @@ class TempuraRunConfig:
     rel_con_loss: bool = False
     lambda_con: float = 1.0
     seed: int = 1123  # reference env.py:6-13
+    # TPU-native (no reference counterpart — the ref is single-GPU,
+    # SURVEY.md §2.4): videos per data-parallel group; 1 = single device,
+    # 0 = all local devices
+    data_parallel: int = 1
+    # rehearsal/dev hooks (the reference hardcodes min-side 600 and the
+    # full ResNet-101): frame resize target, shrunk detector, and the
+    # largest frame-count bucket
+    frame_size: int = 600
+    tiny_detector: bool = False
+    bucket_frames: int = 64
 
     def __post_init__(self):
         # mode-conditional mutation (tempura_config.py:25-28)
@@ -69,6 +79,10 @@ class TempuraRunConfig:
             if getattr(self, f) == "None":
                 setattr(self, f, None)
         self.mem_feat_lambda = float(self.mem_feat_lambda)
+        if self.data_parallel == 0:  # 0 = all local devices
+            import jax
+
+            self.data_parallel = jax.device_count()
 
     @classmethod
     def from_args(cls, argv=None) -> "TempuraRunConfig":
@@ -112,6 +126,10 @@ class TempuraRunConfig:
         p.add_argument("-rel_con_loss", action="store_true")
         p.add_argument("-lambda_con", type=float, default=1.0)
         p.add_argument("-seed", type=int, default=1123)
+        p.add_argument("--data_parallel", type=int, default=1)
+        p.add_argument("--frame_size", type=int, default=600)
+        p.add_argument("--tiny_detector", action="store_true")
+        p.add_argument("--bucket_frames", type=int, default=64)
         args = vars(p.parse_args(argv))
         args["mem_feat_lambda"] = float(args["mem_feat_lambda"])
         return cls(**args)

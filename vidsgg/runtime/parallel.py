@@ -94,11 +94,13 @@ def make_parallel_train_step(flags: LossFlags, mesh):
     )
 
 
-def make_parallel_eval_step(mesh):
+def make_parallel_eval_step(mesh, unc: bool = False):
     """Data-parallel test-phase forward: a batch of featurized entries
     sharded over the mesh, params replicated. Returns the distribution dict
     batched on axis 0 (predcls; sgcls/sgdet eval interleaves host
-    postprocessing and stays per-video)."""
+    postprocessing and stays per-video). ``unc=True`` is the uncertainty
+    pass feeding the memory accumulator (the reference's second no-grad
+    forward, Uncertainty.py:91-95, one per sharded video)."""
     repl = replicate_sharding(mesh)
     shard = data_sharding(mesh)
 
@@ -108,6 +110,7 @@ def make_parallel_eval_step(mesh):
                 {"params": state.params, "batch_stats": state.batch_stats},
                 entry,
                 phase="test",
+                unc=unc,
                 rel_memory=state.rel_memory,
                 obj_memory=state.obj_memory,
                 mem_active=state.mem_active,
