@@ -25,6 +25,16 @@ def test_dryrun_multichip(n):
     g.dryrun_multichip(n)
 
 
+@pytest.mark.parametrize("variant", ["tempura-sgcls", "teatgt"])
+def test_dryrun_multichip_variants(variant):
+    """Sharding coverage beyond the flagship: sgcls (tracking + BN-heavy
+    OSPU) and TEAT-GT (vmapped clips + masked eigh) through the full
+    data-parallel train step on a 2-device mesh."""
+    import __graft_entry__ as g
+
+    g._dryrun_impl(2, variant)
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("VIDSGG_FULL_MESH_TESTS"),
     reason="8-device dryrun compiles ~15 min on this 1-core host; the "
