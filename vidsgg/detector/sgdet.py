@@ -296,26 +296,18 @@ class SgdetFrontend:
         dets["mask"] = dets["mask"] & (
             np.arange(frames.shape[0]) < num_frames
         )[:, None]
-        f = num_frames
-        frame_boxes = [dets["boxes"][i][dets["mask"][i]] for i in range(f)]
-        frame_feats = [dets["features"][i][dets["mask"][i]] for i in range(f)]
-        frame_scores = [dets["scores"][i][dets["mask"][i]] for i in range(f)]
-        frame_labels = [dets["labels"][i][dets["mask"][i]] for i in range(f)]
 
         if is_train:
             assert gt_annotation is not None
             entry, base_feat = self._train_entry(
-                dets, frame_boxes, frame_feats, frame_scores, frame_labels,
-                gt_annotation, im_scale, video_size,
+                dets, gt_annotation, im_scale, video_size, num_frames
             )
             # union visual stream for the GT-derived pairs (the reference
             # builds union features inside the detector for train,
             # object_detector.py:254-279)
             entry = self.pair_featurize(entry, jnp.asarray(base_feat))
             return entry, base_feat
-        return self._test_entry(
-            dets, frame_boxes, frame_feats, frame_scores, im_scale, video_size
-        )
+        return self._test_entry(dets, im_scale, video_size, num_frames)
 
     # -- assembly helpers ----------------------------------------------------
 
@@ -366,19 +358,17 @@ class SgdetFrontend:
             video_size=np.asarray(video_size, np.float32),
         )
 
-    def _test_entry(self, dets, frame_boxes, frame_feats, frame_scores,
-                    im_scale, video_size):
-        f = len(frame_boxes)
-        boxes, feats, dist_rows = [], [], []
-        for i in range(f):
-            frame_dists = dets["dists"][i][dets["mask"][i]]
-            for b, ft, dd in zip(frame_boxes[i], frame_feats[i], frame_dists):
-                boxes.append(np.concatenate([[i], b]))
-                feats.append(ft)
-                dist_rows.append(dd)
-        boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
-        feats = np.asarray(feats, np.float32).reshape(-1, 2048)
-        dists = np.asarray(dist_rows, np.float32).reshape(-1, 36)
+    def _test_entry(self, dets, im_scale, video_size, num_frames):
+        f = num_frames
+        mask = dets["mask"][:f]  # boolean indexing keeps frame-major order
+        frame_of = np.broadcast_to(
+            np.arange(f, dtype=np.float32)[:, None], mask.shape
+        )[mask]
+        boxes = np.concatenate(
+            [frame_of[:, None], dets["boxes"][:f][mask]], axis=1
+        ).astype(np.float32)
+        feats = dets["features"][:f][mask].astype(np.float32)
+        dists = dets["dists"][:f][mask].astype(np.float32)
         pred_labels = dists.argmax(1) + 1
         pred_scores = dists.max(1)
         return self._pack_entry(
@@ -387,67 +377,102 @@ class SgdetFrontend:
             video_size=video_size, num_frames=f,
         ), dets["base_feat"]
 
-    def _train_entry(self, dets, frame_boxes, frame_feats, frame_scores,
-                     frame_labels, gt_annotation, im_scale, video_size):
+    def _train_entry(self, dets, gt_annotation, im_scale, video_size,
+                     num_frames):
+        """Detections + IoU-assigned labels + SUPPLY rows, assembled with
+        array ops (object_detector.py:170-279). Only the tiny greedy IoU
+        assignment and the per-GT-item pair build run as host loops; row
+        packing is vectorized scatter (the round-2 per-object Python appends
+        cost ~256 ms/video against a 23 ms relation step)."""
+        f = num_frames
+        mask = dets["mask"][:f]                       # [f, D] bool
+        nd = mask.sum(1).astype(np.int64)             # detections per frame
+        frame_boxes = [dets["boxes"][i][mask[i]] for i in range(f)]
+        frame_labels = [dets["labels"][i][mask[i]] for i in range(f)]
         found, gts, supply, assigned = assign_relations(
             frame_boxes, frame_labels, gt_annotation
         )
-        f = len(frame_boxes)
-        boxes, labels, scores, feats, dist_rows = [], [], [], [], []
-        frame_offset = []
-        sup_rois, sup_slots = [], []  # one padded supply() call per video
+
+        # flat detected rows in frame-major order
+        det_boxes = dets["boxes"][:f][mask]
+        det_feats = dets["features"][:f][mask]
+        det_scores = dets["scores"][:f][mask]
+        det_dists = dets["dists"][:f][mask]
+        det_labels = (
+            np.concatenate(assigned) if len(assigned) else np.zeros(0, np.int64)
+        )
+
+        # SUPPLY rows (undetected GT, reference :170-227) — per-frame loop
+        # over GT items only (a handful per frame)
+        sup_frame, sup_boxes, sup_cls = [], [], []
         for i in range(f):
-            frame_offset.append(len(boxes))
-            nb = len(frame_boxes[i])
-            frame_dists = dets["dists"][i][dets["mask"][i]]
-            for b, ft, sc, al, dd in zip(
-                frame_boxes[i], frame_feats[i], frame_scores[i], assigned[i],
-                frame_dists,
-            ):
-                boxes.append(np.concatenate([[i], b]))
-                labels.append(al)
-                scores.append(sc)
-                feats.append(ft)
-                dist_rows.append(dd)
-            # SUPPLY: append undetected GT boxes with unit scores; features
-            # are re-pooled in one fixed-capacity batch after the loop
+            for item in supply[i]:
+                bb = (
+                    np.asarray(item["person_bbox"]).reshape(-1)[:4]
+                    if "person_bbox" in item
+                    else np.asarray(item["bbox"], np.float32)
+                )
+                sup_frame.append(i)
+                sup_boxes.append(bb)
+                sup_cls.append(1 if "person_bbox" in item else int(item["class"]))
             if supply[i]:
-                for item in supply[i]:
-                    bb = (
-                        np.asarray(item["person_bbox"]).reshape(-1)[:4]
-                        if "person_bbox" in item
-                        else np.asarray(item["bbox"], np.float32)
-                    )
-                    cls = 1 if "person_bbox" in item else int(item["class"])
-                    boxes.append(np.concatenate([[i], bb]))
-                    labels.append(cls)
-                    scores.append(1.0)
-                    sup_rois.append(
-                        np.concatenate([[i], np.asarray(bb, np.float32) * im_scale])
-                    )
-                    sup_slots.append(len(feats))
-                    feats.append(None)
-                    dist_rows.append(None)
                 found[i] = list(found[i]) + list(
-                    range(nb, nb + len(supply[i]))
+                    range(int(nd[i]), int(nd[i]) + len(supply[i]))
                 )
                 gts[i] = list(gts[i]) + list(supply[i])
+        ns = (
+            np.bincount(np.asarray(sup_frame), minlength=f).astype(np.int64)
+            if sup_frame else np.zeros(f, np.int64)
+        )
 
-        if sup_rois:
-            k = len(sup_rois)
+        # final row layout: per frame, detections first then SUPPLY
+        tot = nd + ns
+        off = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        n_rows = int(tot.sum())
+
+        def ranks(counts):  # 0..c_i-1 within each frame, concatenated
+            reps = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            return np.arange(int(counts.sum())) - reps
+
+        det_frame = np.repeat(np.arange(f), nd)
+        det_dst = (off[det_frame] + ranks(nd)).astype(np.int64)
+
+        boxes = np.zeros((n_rows, 5), np.float32)
+        labels = np.zeros(n_rows, np.int64)
+        scores = np.zeros(n_rows, np.float32)
+        feats = np.zeros((n_rows, 2048), np.float32)
+        # detected rows reuse the detect jit's on-device class distribution
+        # (same class_scores(features) softmax — the reference recomputes it
+        # host-side, object_detector.py:284-286); supply rows use supply()'s
+        # probs. No extra class_score dispatch or feature round trip.
+        dists = np.zeros((n_rows, 36), np.float32)
+        boxes[det_dst, 0] = det_frame
+        boxes[det_dst, 1:] = det_boxes
+        labels[det_dst] = det_labels
+        scores[det_dst] = det_scores
+        feats[det_dst] = det_feats
+        dists[det_dst] = det_dists
+
+        if sup_frame:
+            k = len(sup_frame)
             if k > self.caps.supply_cap:
                 raise ValueError(
                     f"sgdet video needs {k} SUPPLY boxes > cap {self.caps.supply_cap}"
                 )
+            sup_frame_a = np.asarray(sup_frame, np.int64)
+            sup_boxes_a = np.asarray(sup_boxes, np.float32).reshape(-1, 4)
+            sup_dst = (off[sup_frame_a] + nd[sup_frame_a] + ranks(ns)).astype(
+                np.int64
+            )
             rois_pad = np.zeros((self.caps.supply_cap, 5), np.float32)
-            rois_pad[:k] = np.asarray(sup_rois, np.float32)
+            rois_pad[:k, 0] = sup_frame_a
+            rois_pad[:k, 1:] = sup_boxes_a * im_scale
             sup_out = jax.device_get(  # one transfer for feats + probs
                 self.supply(
                     self.variables, jnp.asarray(dets["base_feat"]),
                     jnp.asarray(rois_pad),
                 )
             )
-            sup_feats = sup_out[0][:k]
             # supply() softmaxes over all classes incl background; the
             # entry's distribution is softmax over 1..C-1 (:284-286) —
             # renormalizing the foreground slice is algebraically the same
@@ -455,21 +480,14 @@ class SgdetFrontend:
             sup_probs = sup_probs / np.clip(
                 sup_probs.sum(1, keepdims=True), 1e-12, None
             )
-            for slot, ftr, pr in zip(sup_slots, sup_feats, sup_probs):
-                feats[slot] = ftr
-                dist_rows[slot] = pr
+            boxes[sup_dst, 0] = sup_frame_a
+            boxes[sup_dst, 1:] = sup_boxes_a
+            labels[sup_dst] = np.asarray(sup_cls, np.int64)
+            scores[sup_dst] = 1.0
+            feats[sup_dst] = sup_out[0][:k]
+            dists[sup_dst] = sup_probs
 
-        boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
-        labels = np.asarray(labels, np.int64)
-        scores = np.asarray(scores, np.float32)
-        feats = np.asarray(feats, np.float32).reshape(-1, 2048)
-        # detected rows reuse the detect jit's on-device class distribution
-        # (same class_scores(features) softmax — the reference recomputes it
-        # host-side, object_detector.py:284-286); supply rows use supply()'s
-        # probs. No extra class_score dispatch or feature round trip.
-        dists = np.asarray(dist_rows, np.float32).reshape(-1, 36)
-
-        # pair construction from GT relations (:231-253)
+        # pair construction from GT relations (:231-253) — per GT item
         im_idx, pairs, rels = [], [], []
         for i in range(f):
             human_local = None
@@ -479,12 +497,12 @@ class SgdetFrontend:
                     break
             if human_local is None:
                 continue
-            human_global = frame_offset[i] + int(human_local)
+            human_global = int(off[i]) + int(human_local)
             for k, item in enumerate(gts[i]):
                 if "class" in item:
                     im_idx.append(i)
                     pairs.append(
-                        [human_global, frame_offset[i] + int(found[i][k])]
+                        [human_global, int(off[i]) + int(found[i][k])]
                     )
                     rels.append(
                         (
