@@ -56,6 +56,20 @@ DEFAULT_CANVASES = (
 )
 
 
+def scale_canvases(frame_size: int, canvases=DEFAULT_CANVASES,
+                   base: int = 600):
+    """Canvas set for a non-default min-side resize target (--frame_size):
+    each default canvas scaled by frame_size/600 and rounded up to /16.
+    frame_size == 600 returns the defaults unchanged."""
+    if frame_size == base:
+        return canvases
+    s = frame_size / base
+    return tuple(
+        (-(-int(round(ch * s)) // 16) * 16, -(-int(round(cw * s)) // 16) * 16)
+        for ch, cw in canvases
+    )
+
+
 def pick_canvas(h: int, w: int, canvases=DEFAULT_CANVASES):
     """Smallest-area canvas covering (h, w); None if none fits (the caller
     falls back to the exact /16-padded shape, paying one compile)."""
@@ -149,6 +163,7 @@ def make_ag_source(
     seed: int = 1123,
     max_videos: int | None = None,
     buckets: list[EntryCapacity] | None = None,
+    canvases=DEFAULT_CANVASES,
 ):
     """Action Genome source (predcls/sgcls GT-box path).
 
@@ -199,7 +214,9 @@ def make_ag_source(
                 continue
             frames, scale = dataset.load_video_frames(i)
             h, w = frames.shape[1:3]
-            canvas = pick_canvas(h, w) or (-(-h // 16) * 16, -(-w // 16) * 16)
+            canvas = pick_canvas(h, w, canvases) or (
+                -(-h // 16) * 16, -(-w // 16) * 16
+            )
             pad_f = np.zeros(
                 (vid_cap.max_frames, canvas[0], canvas[1], 3), np.float32
             )
@@ -220,6 +237,40 @@ def make_ag_source(
 
     source.stats = stats
     return source
+
+
+def build_detector(model_path: str | None = None, tiny: bool = False,
+                   frame_size: int = 600):
+    """Shared CLI detector construction: (model, variables, canvases).
+
+    ``tiny=True`` builds the shrunk Faster R-CNN (1-block stages, small RPN
+    top-n) used for end-to-end rehearsal without the external AG checkpoint;
+    ``frame_size`` scales the spatial canvas set to match a non-default
+    min-side resize target."""
+    from vidsgg.detector.faster_rcnn import FasterRCNN
+
+    if tiny:
+        from vidsgg.detector.rpn import RPNConfig
+
+        det = FasterRCNN(
+            rpn_cfg=RPNConfig(pre_nms_top_n=64, post_nms_top_n=16),
+            base_blocks=(1, 1, 1), head_blocks=1,
+        )
+    else:
+        det = FasterRCNN()
+    canvases = scale_canvases(frame_size)
+    if model_path:
+        from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+        det_vars = load_faster_rcnn_checkpoint(model_path)
+    else:
+        h, w = canvases[0]
+        det_vars = jax.jit(det.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+            jnp.array([float(h), float(w)]),
+        )
+        print("WARNING: no detector checkpoint; random detector weights")
+    return det, det_vars, canvases
 
 
 def make_sgdet_source(

@@ -30,7 +30,9 @@ class _MemCfg:
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic, max_videos, ckpt = 0, None, None
-    for flag, cast in (("--synthetic", int), ("--max_videos", int), ("--ckpt", str)):
+    ckpt_name = "best_recall"
+    for flag, cast in (("--synthetic", int), ("--max_videos", int),
+                       ("--ckpt", str), ("--ckpt_name", str)):
         if flag in argv:
             i = argv.index(flag)
             val = cast(argv[i + 1])
@@ -39,6 +41,8 @@ def main(argv=None):
                 synthetic = val
             elif flag == "--max_videos":
                 max_videos = val
+            elif flag == "--ckpt_name":
+                ckpt_name = val
             else:
                 ckpt = val
     cfg = TeatGTRunConfig.from_args(argv)
@@ -52,50 +56,43 @@ def main(argv=None):
 
         src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
     else:
-        import jax.numpy as jnp
-
         from vidsgg.cli.data_source import (
+            build_detector,
             default_buckets,
             make_ag_source,
             make_sgdet_source,
         )
         from vidsgg.data.action_genome import ActionGenome
-        from vidsgg.detector.faster_rcnn import FasterRCNN
 
-        buckets = default_buckets(max_frames=64)
+        buckets = default_buckets(max_frames=cfg.bucket_frames)
         cap = buckets[-1]
         clips = ClipCaps(clip_size=5, n_clips=-(-cap.max_frames // 5),
                          tokens_per_clip=5 * 8, edges_per_clip=320,
                          tokens_per_frame=8)
         ds = ActionGenome("test", cfg.datasize, cfg.data_path,
-                          filter_small_box=cfg.mode != "predcls")
-        det = FasterRCNN()
-        if getattr(cfg, "model_path", None):
-            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
-
-            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
-        else:
-            det_vars = jax.jit(det.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
-                jnp.array([608.0, 1008.0]),
-            )
-            print("WARNING: no detector checkpoint; random detector weights")
+                          filter_small_box=cfg.mode != "predcls",
+                          target_min_side=cfg.frame_size)
+        det, det_vars, canvases = build_detector(
+            getattr(cfg, "model_path", None), tiny=cfg.tiny_detector,
+            frame_size=cfg.frame_size,
+        )
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
 
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
-                                    max_videos=max_videos)
+                                    max_videos=max_videos, canvases=canvases)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
-                                 max_videos=max_videos, buckets=buckets)
+                                 max_videos=max_videos, buckets=buckets,
+                                 canvases=canvases)
 
     model = TeatGT(cfg.model_config(clips))
     entry0, _, _ = next(iter(src()))
     state = create_train_state(model, _MemCfg(), entry0, jax.random.PRNGKey(0),
                                make_optimizer(steps_per_epoch=1))
     if ckpt:
-        state = restore_checkpoint(ckpt, state, "best_recall")
+        state = restore_checkpoint(ckpt, state, ckpt_name)
 
     from vidsgg.train.eval_pipeline import EvalPipeline
 

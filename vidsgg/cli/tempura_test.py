@@ -31,10 +31,12 @@ from vidsgg.train.eval_pipeline import EvalPipeline
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic, max_videos, ckpt = 0, None, None
+    ckpt_name = "best_recall"
     bf16 = "--bf16" in argv
     if bf16:
         argv.remove("--bf16")
-    for flag, cast in (("--synthetic", int), ("--max_videos", int), ("--ckpt", str)):
+    for flag, cast in (("--synthetic", int), ("--max_videos", int),
+                       ("--ckpt", str), ("--ckpt_name", str)):
         if flag in argv:
             i = argv.index(flag)
             val = cast(argv[i + 1])
@@ -43,6 +45,8 @@ def main(argv=None):
                 synthetic = val
             elif flag == "--max_videos":
                 max_videos = val
+            elif flag == "--ckpt_name":
+                ckpt_name = val
             else:
                 ckpt = val
     cfg = TempuraRunConfig.from_args(argv)
@@ -54,40 +58,33 @@ def main(argv=None):
 
         src = make_synthetic_source(synthetic, cap, seed=99, shuffle=False, stable=True)
     else:
-        import jax.numpy as jnp
-
         from vidsgg.cli.data_source import (
+            build_detector,
             default_buckets,
             make_ag_source,
             make_sgdet_source,
         )
         from vidsgg.data.action_genome import ActionGenome
-        from vidsgg.detector.faster_rcnn import FasterRCNN
 
-        buckets = default_buckets(max_frames=64)
+        buckets = default_buckets(max_frames=cfg.bucket_frames)
         cap = buckets[-1]
 
         ds = ActionGenome("test", cfg.datasize, cfg.data_path,
-                          filter_small_box=cfg.mode != "predcls")
-        det = FasterRCNN()
-        if cfg.model_path:
-            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
-
-            det_vars = load_faster_rcnn_checkpoint(cfg.model_path)
-        else:
-            det_vars = jax.jit(det.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, 608, 1008, 3)),
-                jnp.array([608.0, 1008.0]),
-            )
+                          filter_small_box=cfg.mode != "predcls",
+                          target_min_side=cfg.frame_size)
+        det, det_vars, canvases = build_detector(
+            cfg.model_path, tiny=cfg.tiny_detector, frame_size=cfg.frame_size
+        )
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
 
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
-                                    max_videos=max_videos)
+                                    max_videos=max_videos, canvases=canvases)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
-                                 max_videos=max_videos, buckets=buckets)
+                                 max_videos=max_videos, buckets=buckets,
+                                 canvases=canvases)
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)
@@ -97,8 +94,8 @@ def main(argv=None):
         make_optimizer(steps_per_epoch=1),
     )
     if ckpt:
-        state = restore_checkpoint(ckpt, state, "best_recall")
-        print(f"restored checkpoint from {ckpt} (incl. memory banks)")
+        state = restore_checkpoint(ckpt, state, ckpt_name)
+        print(f"restored checkpoint {ckpt_name} from {ckpt} (incl. memory banks)")
 
     import jax.numpy as jnp
 
@@ -108,7 +105,9 @@ def main(argv=None):
         # frame are bounded by 2*dets_per_frame - 1 -> grouped union pooling
         union_pairs_per_frame=32 if cfg.mode == "sgdet" else None,
     )
-    evs = get_ag_evaluators(cfg.mode, output_dir=None)
+    # per-class recall pickles land in output_path (the reference dumps
+    # them from print_stats, evaluation_recall.py:79-83)
+    evs = get_ag_evaluators(cfg.mode, output_dir=cfg.output_path)
     tc_s, tc_c = [], []
     t0 = time.time()
     n = 0

@@ -28,10 +28,15 @@ class ActionGenome:
     def __init__(self, mode: str, datasize: str = "large",
                  data_path: str = "/data/AG/",
                  filter_nonperson_box_frame: bool = True,
-                 filter_small_box: bool = False):
+                 filter_small_box: bool = False,
+                 target_min_side: int = C.TARGET_MIN_SIDE):
         self.mode = mode
         self.data_path = data_path
         self.frames_path = os.path.join(data_path, "frames/")
+        # min-side resize target; the reference hardcodes 600
+        # (action_genome.py:176). Smaller values shrink every downstream
+        # shape — the CLI --frame_size hook for cheap end-to-end rehearsal.
+        self.target_min_side = int(target_min_side)
 
         try:  # opportunistic native fast path for frame preprocessing
             from vidsgg.data import native
@@ -177,11 +182,11 @@ class ActionGenome:
 
             if native.available() and len({im.shape for im in raw}) == 1:
                 h, w = raw[0].shape[:2]
-                scale = float(C.TARGET_MIN_SIDE) / float(min(h, w))
+                scale = float(self.target_min_side) / float(min(h, w))
                 out_h = int(round(h * scale))
                 out_w = int(round(w * scale))
                 blob, scale = native.prep_frames(
-                    np.stack(raw), C.TARGET_MIN_SIDE, C.PIXEL_MEANS_BGR,
+                    np.stack(raw), self.target_min_side, C.PIXEL_MEANS_BGR,
                     out_h, out_w,
                 )
                 return blob, scale
@@ -190,7 +195,7 @@ class ActionGenome:
 
         ims, scales = [], []
         for im in raw:
-            im, scale = prep_im_for_blob(im)
+            im, scale = prep_im_for_blob(im, self.target_min_side)
             ims.append(im)
             scales.append(scale)
         return im_list_to_blob(ims), scales[0]

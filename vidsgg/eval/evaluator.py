@@ -234,6 +234,7 @@ class SceneGraphEvaluator:
                 log_file.write("R@%i: %f \n" % (k, r))
                 log_file.write("mR@%i: %f \n" % (k, mr))
             if self.output_dir:
+                os.makedirs(self.output_dir, exist_ok=True)
                 per_cls = {
                     self.all_predicates[i]: float(
                         self.result_dict[self.mode + "_recall_hit"][k][i]

@@ -308,4 +308,7 @@ def run_training(
             rel_mem, obj_mem = finalize_memory(acc)
             state = state.with_memory(rel_mem, obj_mem)
 
+    # the reference computes memory banks AFTER its epoch checkpoints, so
+    # the final epoch's banks are never on disk; persist them explicitly
+    save_checkpoint(loop_cfg.save_path, state, "checkpoint_final")
     return state
