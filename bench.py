@@ -108,10 +108,19 @@ def build():
         # sync would add a ~25-30 ms tunnel round trip to every video).
         return float(jnp.asarray(x).sum())
 
+    # batched-detect probe: 2 videos (2*FRAMES frames) through ONE detect
+    # dispatch — answers whether a bigger conv batch amortizes the
+    # thin-channel ResNet stages that cap MFU (docs/PERF.md roofline note)
+    video2 = jnp.concatenate([video, video], axis=0)
+
+    def detect_batch2():
+        return frontend.detect(det_vars, video2, im_hw, jnp.asarray(1.0))["scores"]
+
     flops_detect = _flops(frontend.detect, det_vars, video, im_hw, jnp.asarray(1.0))
     flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True, UNION_PPF)
 
-    return e2e_video, detect_only, relation_only, sync, flops_detect + flops_rel
+    return (e2e_video, detect_only, relation_only, detect_batch2, sync,
+            flops_detect + flops_rel)
 
 
 def _time_window(fn, sync, iters):
@@ -125,10 +134,12 @@ def _time_window(fn, sync, iters):
 
 
 def main():
-    e2e_video, detect_only, relation_only, sync, flops_video = build()
+    (e2e_video, detect_only, relation_only, detect_batch2, sync,
+     flops_video) = build()
 
     dt_detect = _time_window(detect_only, sync, 10)
     dt_rel = _time_window(relation_only, sync, 10)
+    dt_detect_b2 = _time_window(detect_batch2, sync, 5) / 2  # per video
     dt_e2e = _time_window(e2e_video, sync, 6)
 
     fps_e2e = FRAMES / dt_e2e
@@ -143,6 +154,7 @@ def main():
                 "vs_baseline": round(fps_e2e / BASELINE_FPS_ESTIMATE, 2),
                 "device_only_fps": round(fps_device, 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),
+                "detect_ms_per_video_batch2": round(dt_detect_b2 * 1e3, 1),
                 "relation_ms_per_video": round(dt_rel * 1e3, 1),
                 "host_overhead_ms_per_video": round(
                     (dt_e2e - dt_detect - dt_rel) * 1e3, 1

@@ -1,0 +1,93 @@
+"""Measure the SGDet TRAIN path on the real chip: full frontend (detect ->
+IoU assignment -> SUPPLY re-pool -> GT pairs -> union featurize) + the
+relation train step, at AG shapes (16-frame video, 608x1008, ResNet-101
+bf16, random weights — the FLOP/host profile is weight-independent).
+
+Round-2 baseline (docs/PERF.md "SGDet training path"): frontend 256 ms,
+relation step 23 ms -> ~57 fps. Round 3 vectorized the host assembly
+(per-object Python appends -> masked compaction + scatter).
+
+Run from /root/repo with the tunnel free:  python scripts/bench_train_frontend.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FRAMES, H, W = 16, 608, 1008
+
+
+def main():
+    from vidsgg.data import EntryCapacity, synthetic_video_annotation
+    from vidsgg.detector.faster_rcnn import FasterRCNN
+    from vidsgg.detector.rpn import RPNConfig
+    from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+    from vidsgg.models import Tempura, TempuraConfig
+    from vidsgg.train import create_train_state, make_optimizer
+    from vidsgg.train.steps import LossFlags, make_train_step
+
+    det = FasterRCNN(
+        rpn_cfg=RPNConfig(pre_nms_top_n=1000, post_nms_top_n=128),
+        dtype=jnp.bfloat16,
+    )
+    im_hw = jnp.array([float(H), float(W)])
+    det_vars = jax.jit(det.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), im_hw
+    )
+    cap = EntryCapacity(max_frames=FRAMES, max_objs=160, max_pairs=64)
+    frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=8), cap)
+    ann = synthetic_video_annotation(
+        num_frames=FRAMES, objs_per_frame=3, seed=0, image_wh=(W, H)
+    )
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(FRAMES, H, W, 3).astype(np.float32)
+    )
+
+    def sync(x):
+        return float(jnp.asarray(x).sum())
+
+    def frontend_once():
+        return frontend(video, im_hw, 1.0, gt_annotation=ann, is_train=True)
+
+    entry, fmaps = frontend_once()  # warm/compile
+    sync(entry.features)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        entry, fmaps = frontend_once()
+    sync(entry.features)
+    dt_frontend = (time.perf_counter() - t0) / iters
+
+    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
+    model = Tempura(cfg)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0),
+        make_optimizer(steps_per_epoch=100),
+    )
+    step = make_train_step(LossFlags(mode="sgdet", obj_con_loss="euc_con"))
+    rng = jax.random.PRNGKey(1)
+    state, m = step(state, entry, rng)  # warm/compile
+    sync(m["total_loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, entry, jax.random.fold_in(rng, i))
+    sync(m["total_loss"])
+    dt_step = (time.perf_counter() - t0) / iters
+
+    print(json.dumps({
+        "train_frontend_ms_per_video": round(dt_frontend * 1e3, 1),
+        "relation_train_step_ms_per_video": round(dt_step * 1e3, 1),
+        "sgdet_train_fps": round(FRAMES / (dt_frontend + dt_step), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
