@@ -153,6 +153,81 @@ def test_config_surfaces_accept_data_parallel():
     ).data_parallel == jax.device_count()
 
 
+def _sgcls_videos(n, seed0=0):
+    import __graft_entry__ as g
+    from vidsgg.data.synthetic import synthetic_base_fmaps
+
+    videos = []
+    for s in range(n):
+        cfg, model, entry, cap = g._example_setup(
+            seed=seed0 + s, tiny=True, variant="tempura-sgcls"
+        )
+        fmaps = jnp.array(
+            synthetic_base_fmaps(cap.max_frames, hw=(6, 10), seed=seed0 + s)
+        )
+        videos.append((entry, fmaps))
+    return cfg, model, cap, videos
+
+
+def test_parallel_sgcls_eval_matches_per_video():
+    """The vmapped sgcls fused eval stage (classify -> device postprocess ->
+    union refeaturize -> relation) equals the per-video jit on a 2-mesh."""
+    from vidsgg.runtime.mesh import make_mesh
+    from vidsgg.runtime.parallel import (
+        make_parallel_sgcls_eval_step, stack_entries,
+    )
+    from vidsgg.train.eval_pipeline import sgcls_fused_stage
+
+    cfg, model, cap, videos = _sgcls_videos(2)
+    state = _state(model, cfg, videos[0][0])
+
+    singles = [sgcls_fused_stage(state, e, f, True) for e, f in videos]
+
+    mesh = make_mesh(2)
+    with mesh:
+        step = make_parallel_sgcls_eval_step(mesh)
+        e2_b, out_b = step(
+            state, stack_entries([e for e, _ in videos]),
+            jnp.stack([f for _, f in videos]),
+        )
+    for i, (e2, out) in enumerate(singles):
+        for key in ("attention_distribution", "spatial_distribution",
+                    "contacting_distribution"):
+            np.testing.assert_allclose(
+                np.asarray(out[key]), np.asarray(out_b[key])[i],
+                rtol=1e-4, atol=1e-5,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(e2.pred_labels), np.asarray(e2_b.pred_labels)[i]
+        )
+
+
+def test_run_training_sgcls_data_parallel(tmp_path):
+    """Full sgcls loop at dp=2: grouped train steps (tracking + BN under
+    vmap), batched unc/memory fold, and sharded sgcls validation through
+    the vmapped fused stage."""
+    from vidsgg.train.metrics import MetricsWriter
+
+    cfg, model, cap, videos = _sgcls_videos(4)
+    state = _state(model, cfg, videos[0][0])
+    loop_cfg = TrainLoopConfig(
+        mode="sgcls", nepoch=1, log_iter=2, save_path=str(tmp_path),
+        mem_enabled=True, data_parallel=2,
+        compute_temporal_consistency=False,
+    )
+    writer = MetricsWriter(str(tmp_path))
+    flags = LossFlags(mode="sgcls", obj_con_loss="euc_con")
+    stream = [(e, f, _ann(i)) for i, (e, f) in enumerate(videos)]
+    state = run_training(
+        state, flags, loop_cfg,
+        lambda: iter(stream), lambda: iter(stream),
+        cap, writer, jax.random.PRNGKey(9), model_cfg=cfg,
+    )
+    writer.close()
+    assert int(state.step) == 2  # two full dp=2 groups, no remainder
+    assert float(jnp.abs(state.rel_memory).sum()) > 0
+
+
 def test_vidvrd_cli_data_parallel():
     """The VidVRD CLI trains data-parallel end-to-end (synthetic data,
     4 videos at dp=2) and still reports sane eval numbers."""

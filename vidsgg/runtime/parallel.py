@@ -121,6 +121,28 @@ def make_parallel_eval_step(mesh, unc: bool = False):
     return jax.jit(step_fn, in_shardings=(repl, shard), out_shardings=shard)
 
 
+def make_parallel_sgcls_eval_step(mesh, needs_union: bool = True):
+    """Data-parallel sgcls test step: the whole fused stage (OSPU classify
+    -> on-device relabel/dedup/pair rebuild -> union refeaturize ->
+    relation forward) vmapped over a video batch sharded on the mesh.
+    Requires same-shape fmaps across the batch (same spatial canvas), so
+    the caller groups by (entry bucket, canvas)."""
+    from vidsgg.train.eval_pipeline import _sgcls_fused
+
+    repl = replicate_sharding(mesh)
+    shard = data_sharding(mesh)
+
+    def step_fn(state: TrainState, batch: Entry, fmaps):
+        def fwd(entry, fm):
+            return _sgcls_fused(state, entry, fm, needs_union)
+
+        return jax.vmap(fwd)(batch, fmaps)
+
+    return jax.jit(
+        step_fn, in_shardings=(repl, shard, shard), out_shardings=shard
+    )
+
+
 def make_generic_parallel_train_step(model, tx, mesh):
     """Data-parallel step for the VidVRD generic-pair relation model
     (:mod:`vidsgg.models.generic_rel`): a batch of same-capacity chunk

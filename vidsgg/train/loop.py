@@ -19,6 +19,7 @@ import time
 from typing import Callable, Iterable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vidsgg.data.entry import Entry, EntryCapacity
@@ -247,32 +248,59 @@ def run_training(
                     tc_s.extend(s)
                     tc_c.extend(c)
 
-        shard_val = dp > 1 and loop_cfg.mode == "predcls"
+        shard_val = dp > 1 and loop_cfg.mode in ("predcls", "sgcls")
         if shard_val:
-            # predcls eval is one jit region per video — shard whole-video
-            # batches over the mesh, pull ONE batched transfer, then slice
-            # per video for the host evaluator. sgcls/sgdet interleave host
-            # postprocessing and stay per-video through the pipeline.
+            # predcls eval is one jit region per video, and the sgcls fused
+            # stage (classify -> device postprocess -> relation) is too —
+            # shard whole-video batches over the mesh, pull ONE batched
+            # transfer, then slice per video for the host evaluator. sgcls
+            # groups additionally by fmap canvas so the union-refeaturize
+            # input stacks. sgdet interleaves host fallbacks and stays
+            # per-video through the pipeline.
             from vidsgg.eval.adapter import to_eval_pred
+            from vidsgg.train.eval_pipeline import EvalPipeline as _EP
+
+            par_sgcls = None
+            if loop_cfg.mode == "sgcls":
+                from vidsgg.runtime.parallel import (
+                    make_parallel_sgcls_eval_step,
+                )
+
+                par_sgcls = make_parallel_sgcls_eval_step(mesh)
 
             val_pending: dict[tuple, list] = {}
             for entry, fmaps, gt in val_data():
-                group = val_pending.setdefault(_entry_sig(entry), [])
-                group.append((entry, gt))
+                sig = _entry_sig(entry)
+                if loop_cfg.mode == "sgcls":
+                    sig = sig + (tuple(np.shape(fmaps)),)
+                group = val_pending.setdefault(sig, [])
+                group.append((entry, fmaps, gt))
                 if len(group) < dp:
                     continue
-                batch = stack_entries([e for e, _ in group])
-                out = jax.device_get(par_eval(state, batch))
-                for i, (e, g) in enumerate(group):
-                    consume_pred(
-                        to_eval_pred(e, jax.tree.map(lambda a: a[i], out),
-                                     "predcls"),
-                        g,
-                    )
+                batch = stack_entries([e for e, _, _ in group])
+                if loop_cfg.mode == "sgcls":
+                    fmb = jnp.stack([f for _, f, _ in group])
+                    entry2_b, out_b = par_sgcls(state, batch, fmb)
+                    entry2_b, out_b = jax.device_get((entry2_b, out_b))
+                    for i, (e, _, g) in enumerate(group):
+                        pred = to_eval_pred(
+                            jax.tree.map(lambda a: a[i], entry2_b),
+                            jax.tree.map(lambda a: a[i], out_b),
+                            "sgcls",
+                        )
+                        consume_pred(_EP._attach_gt(pred, e), g)
+                else:
+                    out = jax.device_get(par_eval(state, batch))
+                    for i, (e, _, g) in enumerate(group):
+                        consume_pred(
+                            to_eval_pred(e, jax.tree.map(lambda a: a[i], out),
+                                         "predcls"),
+                            g,
+                        )
                 group.clear()
             for group in val_pending.values():
-                for e, g in group:
-                    consume_pred(pipeline(state, e, None, gt_entry=e), g)
+                for e, f, g in group:
+                    consume_pred(pipeline(state, e, f, gt_entry=e), g)
         else:
             for entry, fmaps, gt in val_data():
                 consume_pred(pipeline(state, entry, fmaps, gt_entry=entry), gt)
