@@ -41,7 +41,9 @@ def main():
     det_vars = jax.jit(det.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), im_hw
     )
-    cap = EntryCapacity(max_frames=FRAMES, max_objs=160, max_pairs=64)
+    # worst case: every detection slot full (16*8) + every GT row SUPPLYed
+    # (16 frames * 4 GT rows) = 192 objects
+    cap = EntryCapacity(max_frames=FRAMES, max_objs=192, max_pairs=64)
     frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=8), cap)
     ann = synthetic_video_annotation(
         num_frames=FRAMES, objs_per_frame=3, seed=0, image_wh=(W, H)

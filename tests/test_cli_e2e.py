@@ -142,6 +142,33 @@ def test_tempura_predcls_train_then_test_cli(ag_root, tmp_path):
     assert float(np.abs(np.asarray(restored.rel_memory)).sum()) > 0
 
 
+def test_teatgt_predcls_train_then_test_cli(ag_root, tmp_path):
+    """The TEAT-GT pair of scripts as one program from disk assets (tiny
+    encoder; consistency regularizer on)."""
+    from vidsgg.cli import teatgt_test, teatgt_train
+
+    ckpt = str(tmp_path / "ckpt_tg")
+    flags = [
+        "--data_path", ag_root, "--frame_size", str(FRAME_H),
+        "--tiny_detector", "--bucket_frames", "16",
+        "--encoder_layers", "2", "--encoder_attention_heads", "4",
+    ]
+    teatgt_train.main(
+        ["--mode", "predcls", "--nepoch", "1", "--log_iter", "2",
+         "--use_cons_str_loss", "--save_path", ckpt] + flags
+    )
+    assert os.path.isdir(os.path.join(ckpt, "checkpoint_final"))
+    # the checkpoint carries the consistency-regularizer params, so the
+    # test CLI must build the same model config (the reference's
+    # load_state_dict(strict=True) contract, TEMPURA_test.py:58-59)
+    evs = teatgt_test.main(
+        ["--mode", "predcls", "--ckpt", ckpt, "--use_cons_str_loss",
+         "--ckpt_name", "checkpoint_final"] + flags
+    )
+    for ev in evs:
+        assert np.isfinite(ev.recall_at(20))
+
+
 def test_tempura_sgdet_train_cli(ag_root, tmp_path):
     """--mode sgdet routes training through the detector front-end (boxes +
     IoU assignment + SUPPLY) end-to-end from disk."""

@@ -104,6 +104,9 @@ def main(argv=None):
     entry0, _, _ = next(iter(train_src()))
     state = create_train_state(model, _MemCfg(), entry0,
                                jax.random.PRNGKey(cfg.seed), tx)
+    from vidsgg.runtime.prefetch import prefetch
+
+    train_src = prefetch(train_src, depth=2)
     writer = MetricsWriter(cfg.save_path)
     loop_cfg = TrainLoopConfig(
         mode=cfg.mode, nepoch=cfg.nepoch, log_iter=cfg.log_iter,
