@@ -25,10 +25,13 @@ def test_dryrun_multichip(n):
     g.dryrun_multichip(n)
 
 
-@pytest.mark.parametrize("variant", ["tempura-sgcls", "teatgt"])
+@pytest.mark.parametrize(
+    "variant", ["tempura-sgcls", "tempura-sgdet", "teatgt"]
+)
 def test_dryrun_multichip_variants(variant):
     """Sharding coverage beyond the flagship: sgcls (tracking + BN-heavy
-    OSPU) and TEAT-GT (vmapped clips + masked eigh) through the full
+    OSPU), sgdet (same stack with IoU-assigned labels incl. background
+    rows), and TEAT-GT (vmapped clips + masked eigh) through the full
     data-parallel train step on a 2-device mesh."""
     import __graft_entry__ as g
 

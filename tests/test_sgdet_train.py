@@ -51,9 +51,10 @@ def sgdet_train_setup():
 
 def test_supply_compiles_once(sgdet_train_setup):
     frontend, entries = sgdet_train_setup
-    # three videos with different SUPPLY counts went through; the padded
-    # supply() jit must have specialized exactly once
-    assert frontend.supply._cache_size() == 1
+    # three videos with different SUPPLY counts went through; the fused
+    # train_pack jit (SUPPLY re-pool at fixed capacity + row gather + union
+    # featurize) must have specialized exactly once
+    assert frontend.train_pack._cache_size() == 1
     # SUPPLY rows (score == 1.0 sentinel) received real re-pooled features
     for entry in entries:
         n = int(np.asarray(entry.obj_mask).sum())

@@ -87,15 +87,15 @@ def proposal_layer(
     fg_scores: jnp.ndarray,   # [B, K]
     deltas: jnp.ndarray,      # [B, K, 4]
     anchors: jnp.ndarray,     # [K, 4]
-    im_hw: jnp.ndarray,       # [2] (H, W) network scale
+    im_hw: jnp.ndarray,       # [2] or [B, 2] (H, W) network scale
     cfg: RPNConfig,
 ):
     """-> (rois [B, N, 4], roi_scores [B, N], roi_mask [B, N])."""
     from vidsgg.ops.nms import batched_class_nms
 
-    def decode_topk(scores, d):
+    def decode_topk(scores, d, hw):
         boxes = bbox_transform_inv(anchors, d.reshape(-1, 4 * 1))
-        boxes = clip_boxes(boxes, im_hw)
+        boxes = clip_boxes(boxes, hw)
         k = min(cfg.pre_nms_top_n, scores.shape[0])
         if cfg.approx_topk:
             top_scores, idx = jax.lax.approx_max_k(scores, k)
@@ -103,7 +103,12 @@ def proposal_layer(
             top_scores, idx = jax.lax.top_k(scores, k)
         return boxes[idx], top_scores
 
-    top_boxes, top_scores = jax.vmap(decode_topk)(fg_scores, deltas)  # [B, K, 4]
+    # per-frame clip bounds: one (H, W) broadcast to every frame, or [B, 2]
+    # when one dispatch carries frames from differently-sized videos
+    im_hw_b = jnp.broadcast_to(jnp.asarray(im_hw), (fg_scores.shape[0], 2))
+    top_boxes, top_scores = jax.vmap(decode_topk)(
+        fg_scores, deltas, im_hw_b
+    )  # [B, K, 4]
     keep = batched_class_nms(
         top_boxes, top_scores, jnp.ones(top_scores.shape, bool), cfg.nms_thresh
     )

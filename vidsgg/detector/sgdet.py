@@ -37,6 +37,13 @@ SCORE_THRESH = 0.1
 NMS_THRESH = 0.4
 
 
+@partial(jax.jit, static_argnums=1)
+def _slice_video(tree, i: int):
+    """One fused device slice of a video-batched pytree (per-leaf indexing
+    outside jit would dispatch one op per Entry field)."""
+    return jax.tree.map(lambda a: a[i], tree)
+
+
 @dataclasses.dataclass(frozen=True)
 class SgdetCaps:
     dets_per_frame: int = 16
@@ -49,7 +56,14 @@ class SgdetCaps:
 
 def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
     """Returns jit(variables, frames [F,H,W,3], im_hw, im_scale) ->
-    per-frame padded detections dict."""
+    per-frame padded detections dict.
+
+    ``im_hw`` may be ``[2]`` or ``[F, 2]`` and ``im_scale`` scalar or
+    ``[F]`` — the per-frame forms let ONE dispatch carry frames from
+    several videos of different true resolutions/scales (the paired-detect
+    eval mode), amortizing the thin-channel ResNet stages over a larger
+    conv batch.
+    """
 
     @jax.jit
     def detect(variables, frames, im_hw, im_scale):
@@ -57,7 +71,11 @@ def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
         rois = out["rois"][..., 1:]                      # [F, N, 4]
         stds = jnp.tile(jnp.asarray(BBOX_STDS), model.num_classes)
         pred = bbox_transform_inv(rois, out["bbox_pred"] * stds)
-        pred = clip_boxes(pred, im_hw) / im_scale        # original scale
+        im_scale = jnp.asarray(im_scale)
+        scale = im_scale.reshape(
+            im_scale.shape + (1,) * (pred.ndim - im_scale.ndim)
+        )
+        pred = clip_boxes(pred, im_hw) / scale           # original scale
         f, n, _ = rois.shape
         nc = model.num_classes
 
@@ -106,15 +124,68 @@ def make_detect_fn(model: FasterRCNN, caps: SgdetCaps):
     return detect
 
 
+def _pack_test_dets(dets, cap: EntryCapacity, im_scale, video_size,
+                    num_frames):
+    """Padded per-frame detections -> test Entry (one video, traced).
+
+    The host `_test_entry` path flattens valid detections frame-major into
+    object rows (object_detector.py:280-302); that is a masked compaction,
+    so it runs on device as a stable argsort over the flattened validity
+    mask. Shared by the single-video and the paired test frontends (the
+    latter vmaps it over the video axis).
+    """
+    f, d = dets["mask"].shape
+    if cap.max_objs < f * d:
+        raise ValueError(
+            f"entry capacity {cap.max_objs} < {f}x{d} detection slots"
+        )
+    # frames beyond num_frames are canvas padding (frame-count buckets
+    # bound the compile set); their detections are dropped here
+    frame_valid = jnp.arange(f) < num_frames
+    mask = dets["mask"] & frame_valid[:, None]
+    mask_flat = mask.reshape(-1)
+    # valid rows first, frame-major slot order preserved (stable)
+    order = jnp.argsort(jnp.where(mask_flat, 0, 1), stable=True)
+    n = mask_flat.sum()
+    valid = jnp.arange(cap.max_objs) < n
+
+    def fit(a):  # [f*d, ...] gathered -> capacity rows, zero-padded
+        a = a[order]
+        return jnp.pad(
+            a, ((0, cap.max_objs - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+        )
+
+    frame_of = (jnp.arange(f * d) // d).astype(jnp.float32)
+    boxes5 = fit(jnp.concatenate(
+        [frame_of[:, None], dets["boxes"].reshape(f * d, 4)], axis=1
+    )) * valid[:, None]
+    feats = fit(dets["features"].reshape(f * d, -1)) * valid[:, None]
+    dists = fit(dets["dists"].reshape(f * d, -1)) * valid[:, None]
+    pred_labels = (dists.argmax(1).astype(jnp.int32) + 1) * valid
+    pred_scores = dists.max(1) * valid
+
+    e = Entry.zeros(cap).replace(
+        boxes=boxes5,
+        labels=pred_labels,
+        scores=pred_scores,
+        distribution=dists,
+        pred_labels=pred_labels,
+        features=feats,
+        obj_mask=valid,
+        frame_mask=jnp.arange(cap.max_frames) < num_frames,
+        im_scale=jnp.asarray(im_scale, jnp.float32),
+        num_frames=jnp.asarray(num_frames, jnp.int32),
+        video_size=jnp.asarray(video_size, jnp.float32),
+    )
+    return e, n
+
+
 def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
                        entry_cap: EntryCapacity):
     """jit (variables, frames, im_hw, im_scale, video_size) ->
     (Entry, base_feat, n_objs) — the whole sgdet *test* frontend on device.
 
-    The host `_test_entry` path flattens valid detections frame-major into
-    object rows (object_detector.py:280-302); that is a masked compaction,
-    so it runs on device as a stable argsort over the flattened validity
-    mask. With this, sgdet eval is two chained jit calls (detect+pack ->
+    With this, sgdet eval is two chained jit calls (detect+pack ->
     fused relation stage) with no tunnel round-trips in between — the
     round-1 host assembly cost ~270 ms/video of per-array transfers.
 
@@ -127,53 +198,48 @@ def make_test_entry_fn(model: FasterRCNN, caps: SgdetCaps,
     def test_entry(variables, frames, im_hw, im_scale, video_size,
                    num_frames):
         dets = detect(variables, frames, im_hw, im_scale)
-        f, d = dets["mask"].shape
-        cap = entry_cap
-        if cap.max_objs < f * d:
-            raise ValueError(
-                f"entry capacity {cap.max_objs} < {f}x{d} detection slots"
-            )
-        # frames beyond num_frames are canvas padding (frame-count buckets
-        # bound the compile set); their detections are dropped here
-        frame_valid = jnp.arange(f) < num_frames
-        dets["mask"] = dets["mask"] & frame_valid[:, None]
-        mask_flat = dets["mask"].reshape(-1)
-        # valid rows first, frame-major slot order preserved (stable)
-        order = jnp.argsort(jnp.where(mask_flat, 0, 1), stable=True)
-        n = mask_flat.sum()
-        valid = jnp.arange(cap.max_objs) < n
-
-        def fit(a):  # [f*d, ...] gathered -> capacity rows, zero-padded
-            a = a[order]
-            return jnp.pad(
-                a, ((0, cap.max_objs - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
-            )
-
-        frame_of = (jnp.arange(f * d) // d).astype(jnp.float32)
-        boxes5 = fit(jnp.concatenate(
-            [frame_of[:, None], dets["boxes"].reshape(f * d, 4)], axis=1
-        )) * valid[:, None]
-        feats = fit(dets["features"].reshape(f * d, -1)) * valid[:, None]
-        dists = fit(dets["dists"].reshape(f * d, -1)) * valid[:, None]
-        pred_labels = (dists.argmax(1).astype(jnp.int32) + 1) * valid
-        pred_scores = dists.max(1) * valid
-
-        e = Entry.zeros(cap).replace(
-            boxes=boxes5,
-            labels=pred_labels,
-            scores=pred_scores,
-            distribution=dists,
-            pred_labels=pred_labels,
-            features=feats,
-            obj_mask=valid,
-            frame_mask=jnp.arange(cap.max_frames) < num_frames,
-            im_scale=jnp.asarray(im_scale, jnp.float32),
-            num_frames=jnp.asarray(num_frames, jnp.int32),
-            video_size=jnp.asarray(video_size, jnp.float32),
+        e, n = _pack_test_dets(
+            dets, entry_cap, im_scale, video_size, num_frames
         )
         return e, dets["base_feat"], n
 
     return test_entry
+
+
+def make_test_entry_pair_fn(model: FasterRCNN, caps: SgdetCaps,
+                            entry_cap: EntryCapacity):
+    """jit over V same-canvas videos in ONE detect dispatch.
+
+    (variables, frames [V*F,H,W,3], im_hw [V,2], im_scale [V],
+    video_size [V,2], num_frames [V]) -> (Entry batched [V,...],
+    base_feat [V,F,h,w,1024], n_objs [V]).
+
+    The detector's thin-channel ResNet stages leave the MXU underfilled at
+    F frames (docs/PERF.md roofline note); doubling the conv batch
+    measured ~13% off detect time (69.4 -> 60.0 ms/video at F=20). Per-frame
+    ``im_hw``/``im_scale`` keep proposal clipping and rescaling exact for
+    videos of different true resolutions sharing a padded canvas.
+    """
+    detect = make_detect_fn(model, caps)
+
+    @jax.jit
+    def test_entry_pair(variables, frames, im_hw, im_scale, video_size,
+                        num_frames):
+        v = im_scale.shape[0]
+        f = frames.shape[0] // v
+        hw_pf = jnp.repeat(im_hw, f, axis=0)          # [V*F, 2]
+        sc_pf = jnp.repeat(im_scale, f)               # [V*F]
+        dets = detect(variables, frames, hw_pf, sc_pf)
+        base_feat = dets.pop("base_feat")
+        per_video = jax.tree.map(
+            lambda a: a.reshape((v, f) + a.shape[1:]), dets
+        )
+        e, n = jax.vmap(
+            lambda d, s, vs, nf: _pack_test_dets(d, entry_cap, s, vs, nf)
+        )(per_video, im_scale, video_size, num_frames)
+        return e, base_feat.reshape((v, f) + base_feat.shape[1:]), n
+
+    return test_entry_pair
 
 
 def make_supply_fn(model: FasterRCNN):
@@ -200,6 +266,77 @@ def make_class_score_fn(model: FasterRCNN):
         return model.apply(variables, feats, method="class_scores")
 
     return score
+
+
+def make_train_pack_fn(model: FasterRCNN, caps: SgdetCaps,
+                       entry_cap: EntryCapacity):
+    """jit (variables, det_feats [F,D,2048], det_dists [F,D,C-1], base_feat,
+    plan) -> train Entry — the sgdet *train* frontend's device half.
+
+    The reference assembles the train entry on host from CUDA tensors
+    (object_detector.py:170-279). Here the host only runs the tiny greedy
+    IoU assignment + row-layout planning over a few-KB transfer of
+    boxes/scores/masks; the 2048-d roi features and class distributions
+    never leave the device. This jit gathers detection rows into their
+    planned slots, re-pools the SUPPLY boxes (ROIAlign + R-CNN head,
+    :206-210) at fixed capacity, and fills the pair union features/masks
+    (:254-279) — one dispatch, no feature round trips (the round-2 batched
+    ``device_get`` of the full detection dict still cost ~250 ms/video
+    through the tunnel; the assembly is transfer-bound, not Python-bound).
+    """
+    from vidsgg.detector.featurize import featurize_pair_entry
+
+    @jax.jit
+    def train_pack(variables, det_feats, det_dists, base_feat, plan):
+        f, d = det_feats.shape[:2]
+        pooled = roi_align(
+            base_feat, plan["supply_rois"], out_size=C.ROI_ALIGN_OUT,
+            spatial_scale=C.ROI_ALIGN_SCALE,
+        )
+        sup_feats = model.apply(variables, pooled, method="head_to_tail")
+        logits = model.apply(variables, sup_feats, method="class_scores")
+        # supply() softmaxes over all classes incl background; the entry's
+        # distribution is softmax over 1..C-1 (object_detector.py:284-286) —
+        # renormalizing the foreground slice is algebraically the same
+        sup_fg = jax.nn.softmax(logits, axis=1)[:, 1:]
+        sup_dists = sup_fg / jnp.clip(sup_fg.sum(1, keepdims=True), 1e-12)
+
+        feats_all = jnp.concatenate(
+            [det_feats.reshape(f * d, -1), sup_feats], axis=0
+        )
+        dists_all = jnp.concatenate(
+            [det_dists.reshape(f * d, -1), sup_dists], axis=0
+        )
+        valid = plan["row_valid"]
+        feats = feats_all[plan["src"]] * valid[:, None]
+        dists = dists_all[plan["src"]] * valid[:, None]
+
+        e = Entry.zeros(entry_cap).replace(
+            boxes=plan["boxes"],
+            labels=plan["labels"],
+            scores=plan["scores"],
+            distribution=dists,
+            pred_labels=plan["labels"],
+            features=feats,
+            obj_mask=valid,
+            im_idx=plan["im_idx"],
+            pair_idx=plan["pair_idx"],
+            pair_mask=plan["pair_mask"],
+            attention_gt=plan["attention_gt"],
+            spatial_gt=plan["spatial_gt"],
+            contacting_gt=plan["contacting_gt"],
+            human_idx=plan["human_idx"],
+            frame_mask=plan["frame_mask"],
+            im_scale=plan["im_scale"],
+            num_frames=plan["num_frames"],
+            video_size=plan["video_size"],
+        )
+        # union visual stream for the GT-derived pairs, fused into the same
+        # dispatch (the reference builds union features inside the detector
+        # for train, object_detector.py:254-279)
+        return featurize_pair_entry(e, base_feat)
+
+    return train_pack
 
 
 def assign_relations(frame_boxes, frame_labels, gt_annotation, iou_thresh=0.5):
@@ -259,12 +396,9 @@ class SgdetFrontend:
         self.caps = caps
         self.entry_cap = entry_cap
         self.detect = make_detect_fn(model, caps)
-        self.supply = make_supply_fn(model)
-        self.class_score = make_class_score_fn(model)
         self.test_entry_device = make_test_entry_fn(model, caps, entry_cap)
-        from vidsgg.detector.featurize import featurize_pair_entry
-
-        self.pair_featurize = jax.jit(featurize_pair_entry)
+        self.test_entry_pair = make_test_entry_pair_fn(model, caps, entry_cap)
+        self.train_pack = make_train_pack_fn(model, caps, entry_cap)
 
     def __call__(self, frames, im_hw, im_scale, gt_annotation=None,
                  is_train=False, video_size=(600.0, 400.0),
@@ -285,6 +419,60 @@ class SgdetFrontend:
             )
             return entry, base_feat
         dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
+
+        if is_train:
+            return self._train_call(dets, frames, gt_annotation, im_scale,
+                                    video_size, num_frames)
+        return self._eval_host_fallback(dets, frames, im_scale, video_size,
+                                        num_frames)
+
+    def eval_pair(self, videos):
+        """Paired test frontend: one detect dispatch for several
+        same-(canvas, frame-bucket) videos.
+
+        ``videos``: list of (frames [F,H,W,3], im_hw (h, w), im_scale,
+        video_size (w, h), num_frames). Returns [(entry, base_feat)] per
+        video, everything on device — feed each into the fused relation
+        stage exactly like the single-video path.
+        """
+        frames = jnp.concatenate([np.asarray(v[0]) for v in videos], axis=0)
+        im_hw = jnp.asarray(
+            [np.asarray(v[1], np.float32) for v in videos]
+        )
+        scales = jnp.asarray([float(v[2]) for v in videos], jnp.float32)
+        vsizes = jnp.asarray(
+            [np.asarray(v[3], np.float32) for v in videos]
+        )
+        nframes = jnp.asarray([int(v[4]) for v in videos], jnp.int32)
+        e, bf, _ = self.test_entry_pair(
+            self.variables, frames, im_hw, scales, vsizes, nframes
+        )
+        return [(_slice_video(e, i), bf[i]) for i in range(len(videos))]
+
+    def _train_call(self, dets, frames, gt_annotation, im_scale, video_size,
+                    num_frames):
+        assert gt_annotation is not None
+        # only the SMALL arrays cross to the host (a few KB, one round
+        # trip) for the greedy IoU assignment; features/dists/base_feat
+        # stay on device for train_pack
+        small = jax.device_get(
+            {k: dets[k] for k in ("boxes", "scores", "mask")}
+        )
+        mask = small["mask"] & (
+            np.arange(frames.shape[0]) < num_frames
+        )[:, None]
+        plan = self._train_plan(
+            small["boxes"], small["scores"], mask, gt_annotation,
+            im_scale, video_size, num_frames,
+        )
+        entry = self.train_pack(
+            self.variables, dets["features"], dets["dists"],
+            dets["base_feat"], plan,
+        )
+        return entry, dets["base_feat"]
+
+    def _eval_host_fallback(self, dets, frames, im_scale, video_size,
+                            num_frames):
         # base_feat stays on device (it is only consumed by later jit
         # regions; pulling ~200 MB/video of feature maps through the host
         # was the round-1 frontend's dominant hidden cost). The rest comes
@@ -296,17 +484,6 @@ class SgdetFrontend:
         dets["mask"] = dets["mask"] & (
             np.arange(frames.shape[0]) < num_frames
         )[:, None]
-
-        if is_train:
-            assert gt_annotation is not None
-            entry, base_feat = self._train_entry(
-                dets, gt_annotation, im_scale, video_size, num_frames
-            )
-            # union visual stream for the GT-derived pairs (the reference
-            # builds union features inside the detector for train,
-            # object_detector.py:254-279)
-            entry = self.pair_featurize(entry, jnp.asarray(base_feat))
-            return entry, base_feat
         return self._test_entry(dets, im_scale, video_size, num_frames)
 
     # -- assembly helpers ----------------------------------------------------
@@ -377,27 +554,29 @@ class SgdetFrontend:
             video_size=video_size, num_frames=f,
         ), dets["base_feat"]
 
-    def _train_entry(self, dets, gt_annotation, im_scale, video_size,
-                     num_frames):
-        """Detections + IoU-assigned labels + SUPPLY rows, assembled with
-        array ops (object_detector.py:170-279). Only the tiny greedy IoU
-        assignment and the per-GT-item pair build run as host loops; row
-        packing is vectorized scatter (the round-2 per-object Python appends
-        cost ~256 ms/video against a 23 ms relation step)."""
+    def _train_plan(self, boxes_h, scores_h, mask, gt_annotation, im_scale,
+                    video_size, num_frames):
+        """Host half of the train frontend: greedy IoU assignment
+        (funcs.py:6-77) + row-layout planning over small arrays only.
+        Returns the plan pytree consumed by :func:`make_train_pack_fn` —
+        destination slots for detection/SUPPLY rows, host-known entry
+        columns (boxes/labels/scores), the padded SUPPLY rois, and the pair
+        tables built from GT relations (object_detector.py:228-253)."""
+        cap = self.entry_cap
+        fd = mask.size                                # F * D flat det slots
         f = num_frames
-        mask = dets["mask"][:f]                       # [f, D] bool
-        nd = mask.sum(1).astype(np.int64)             # detections per frame
-        frame_boxes = [dets["boxes"][i][mask[i]] for i in range(f)]
-        frame_labels = [dets["labels"][i][mask[i]] for i in range(f)]
+        m = mask[:f]                                  # [f, D] bool
+        nd = m.sum(1).astype(np.int64)                # detections per frame
+        frame_boxes = [boxes_h[i][m[i]] for i in range(f)]
         found, gts, supply, assigned = assign_relations(
-            frame_boxes, frame_labels, gt_annotation
+            frame_boxes, None, gt_annotation
         )
 
-        # flat detected rows in frame-major order
-        det_boxes = dets["boxes"][:f][mask]
-        det_feats = dets["features"][:f][mask]
-        det_scores = dets["scores"][:f][mask]
-        det_dists = dets["dists"][:f][mask]
+        # flat detected rows in frame-major order; src = flat [F*D] index
+        # (rows beyond num_frames are already masked out of `mask`)
+        det_src = np.nonzero(mask.reshape(-1))[0]
+        det_boxes = boxes_h[:f][m]
+        det_scores = scores_h[:f][m]
         det_labels = (
             np.concatenate(assigned) if len(assigned) else np.zeros(0, np.int64)
         )
@@ -429,6 +608,10 @@ class SgdetFrontend:
         tot = nd + ns
         off = np.concatenate([[0], np.cumsum(tot)[:-1]])
         n_rows = int(tot.sum())
+        if n_rows > cap.max_objs:
+            raise ValueError(
+                f"sgdet video exceeds capacity ({n_rows} objs)"
+            )
 
         def ranks(counts):  # 0..c_i-1 within each frame, concatenated
             reps = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
@@ -437,22 +620,22 @@ class SgdetFrontend:
         det_frame = np.repeat(np.arange(f), nd)
         det_dst = (off[det_frame] + ranks(nd)).astype(np.int64)
 
-        boxes = np.zeros((n_rows, 5), np.float32)
-        labels = np.zeros(n_rows, np.int64)
-        scores = np.zeros(n_rows, np.float32)
-        feats = np.zeros((n_rows, 2048), np.float32)
-        # detected rows reuse the detect jit's on-device class distribution
-        # (same class_scores(features) softmax — the reference recomputes it
-        # host-side, object_detector.py:284-286); supply rows use supply()'s
-        # probs. No extra class_score dispatch or feature round trip.
-        dists = np.zeros((n_rows, 36), np.float32)
+        boxes = np.zeros((cap.max_objs, 5), np.float32)
+        labels = np.zeros(cap.max_objs, np.int32)
+        scores = np.zeros(cap.max_objs, np.float32)
+        # src: flat det index (< F*D) or F*D + supply row — the device side
+        # gathers from concat(det rows, SUPPLY rows). Detected rows reuse the
+        # detect jit's on-device class distribution (same class_scores
+        # softmax — the reference recomputes it host-side,
+        # object_detector.py:284-286); SUPPLY rows use the fused re-pool's.
+        src = np.zeros(cap.max_objs, np.int32)
         boxes[det_dst, 0] = det_frame
         boxes[det_dst, 1:] = det_boxes
         labels[det_dst] = det_labels
         scores[det_dst] = det_scores
-        feats[det_dst] = det_feats
-        dists[det_dst] = det_dists
+        src[det_dst] = det_src
 
+        rois_pad = np.zeros((self.caps.supply_cap, 5), np.float32)
         if sup_frame:
             k = len(sup_frame)
             if k > self.caps.supply_cap:
@@ -464,28 +647,13 @@ class SgdetFrontend:
             sup_dst = (off[sup_frame_a] + nd[sup_frame_a] + ranks(ns)).astype(
                 np.int64
             )
-            rois_pad = np.zeros((self.caps.supply_cap, 5), np.float32)
             rois_pad[:k, 0] = sup_frame_a
             rois_pad[:k, 1:] = sup_boxes_a * im_scale
-            sup_out = jax.device_get(  # one transfer for feats + probs
-                self.supply(
-                    self.variables, jnp.asarray(dets["base_feat"]),
-                    jnp.asarray(rois_pad),
-                )
-            )
-            # supply() softmaxes over all classes incl background; the
-            # entry's distribution is softmax over 1..C-1 (:284-286) —
-            # renormalizing the foreground slice is algebraically the same
-            sup_probs = sup_out[1][:k, 1:]
-            sup_probs = sup_probs / np.clip(
-                sup_probs.sum(1, keepdims=True), 1e-12, None
-            )
             boxes[sup_dst, 0] = sup_frame_a
             boxes[sup_dst, 1:] = sup_boxes_a
-            labels[sup_dst] = np.asarray(sup_cls, np.int64)
+            labels[sup_dst] = np.asarray(sup_cls, np.int32)
             scores[sup_dst] = 1.0
-            feats[sup_dst] = sup_out[0][:k]
-            dists[sup_dst] = sup_probs
+            src[sup_dst] = fd + np.arange(k)
 
         # pair construction from GT relations (:231-253) — per GT item
         im_idx, pairs, rels = [], [], []
@@ -512,7 +680,41 @@ class SgdetFrontend:
                         )
                     )
 
-        return self._pack_entry(
-            boxes, labels, scores, feats, dists, labels.copy(), pairs, im_idx,
-            rels, im_scale, video_size, f,
-        ), dets["base_feat"]
+        p = len(pairs)
+        if p > cap.max_pairs:
+            raise ValueError(f"sgdet video exceeds capacity ({p} pairs)")
+        a_rel = np.zeros((cap.max_pairs,), np.int32)
+        s_rel = np.zeros((cap.max_pairs, C.NUM_SPATIAL), np.float32)
+        c_rel = np.zeros((cap.max_pairs, C.NUM_CONTACTING), np.float32)
+        for j, (a, s, c) in enumerate(rels):
+            a_rel[j] = a[0]
+            s_rel[j, s] = 1.0
+            c_rel[j, c] = 1.0
+        human_idx = np.zeros(cap.max_frames, np.int32)
+        for j, pr in zip(im_idx, pairs):
+            human_idx[j] = pr[0]
+        im_idx_a = np.zeros(cap.max_pairs, np.int32)
+        pair_a = np.zeros((cap.max_pairs, 2), np.int32)
+        if p:
+            im_idx_a[:p] = im_idx
+            pair_a[:p] = pairs
+
+        return {
+            "src": src,
+            "row_valid": np.arange(cap.max_objs) < n_rows,
+            "boxes": boxes,
+            "labels": labels,
+            "scores": scores,
+            "supply_rois": rois_pad,
+            "im_idx": im_idx_a,
+            "pair_idx": pair_a,
+            "pair_mask": np.arange(cap.max_pairs) < p,
+            "attention_gt": a_rel,
+            "spatial_gt": s_rel,
+            "contacting_gt": c_rel,
+            "human_idx": human_idx,
+            "frame_mask": np.arange(cap.max_frames) < f,
+            "im_scale": np.float32(im_scale),
+            "num_frames": np.int32(f),
+            "video_size": np.asarray(video_size, np.float32),
+        }

@@ -106,10 +106,21 @@ def clip_boxes(boxes: jnp.ndarray, im_hw: jnp.ndarray) -> jnp.ndarray:
     """Clip xyxy(-packed) boxes [..., 4*C] to image bounds [H, W].
 
     Matches jwyang ``clip_boxes`` (clamps to 0 .. size-1), object_detector.py:106.
+
+    ``im_hw`` is ``[2]`` (one size for every box) or ``[..., 2]`` with
+    leading axes aligned to ``boxes``'s leading axes (per-frame sizes — the
+    multi-video batched detect packs frames from videos of different true
+    resolutions into one dispatch).
     """
-    h, w = im_hw[0], im_hw[1]
+    im_hw = jnp.asarray(im_hw)
+    h, w = im_hw[..., 0], im_hw[..., 1]
     shape = boxes.shape[:-1] + (boxes.shape[-1] // 4, 4)
     b = boxes.reshape(shape)
+    # align h/w ([..] leading axes) against b[..., 0] ([.., N, C]) by
+    # appending broadcast axes
+    extra = b[..., 0].ndim - h.ndim
+    h = h.reshape(h.shape + (1,) * extra)
+    w = w.reshape(w.shape + (1,) * extra)
     x1 = jnp.clip(b[..., 0], 0.0, w - 1.0)
     y1 = jnp.clip(b[..., 1], 0.0, h - 1.0)
     x2 = jnp.clip(b[..., 2], 0.0, w - 1.0)
