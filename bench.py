@@ -116,11 +116,44 @@ def build():
     def detect_batch2():
         return frontend.detect(det_vars, video2, im_hw, jnp.asarray(1.0))["scores"]
 
+    # the REAL paired serving path (--pair_detect 2): eval_pair packs both
+    # videos through one detect dispatch, then the fused relation stage runs
+    # VMAPPED over the pair (one dispatch amortizes its fixed latency) —
+    # exactly what make_sgdet_source(pair_detect=2) + PairedSgdetEval drive
+    from vidsgg.runtime.parallel import stack_entries
+    from vidsgg.train.pair_eval import sgdet_fused_pair_stage
+
+    video_b = jnp.asarray(
+        np.random.RandomState(1).rand(FRAMES, H, W, 3).astype(np.float32)
+    )
+    hw_t = (float(H), float(W))
+    vs_t = (float(W), float(H))
+    pair_args = [
+        (video, hw_t, 1.0, vs_t, FRAMES),
+        (video_b, hw_t, 1.0, vs_t, FRAMES),
+    ]
+
+    def e2e_pair():
+        res = frontend.eval_pair(pair_args)
+        batch = stack_entries([e for e, _ in res])
+        fmb = jnp.stack([fm for _, fm in res])
+        _, out_b, _ = sgdet_fused_pair_stage(state, batch, fmb, True,
+                                             UNION_PPF)
+        return out_b["contacting_distribution"]
+
+    entry_b = stack_entries([entry, entry])
+    fmaps_b = jnp.stack([jnp.asarray(fmaps)] * 2)
+
+    def relation_pair2():
+        _, out_b, _ = sgdet_fused_pair_stage(state, entry_b, fmaps_b, True,
+                                             UNION_PPF)
+        return out_b["contacting_distribution"]
+
     flops_detect = _flops(frontend.detect, det_vars, video, im_hw, jnp.asarray(1.0))
     flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True, UNION_PPF)
 
-    return (e2e_video, detect_only, relation_only, detect_batch2, sync,
-            flops_detect + flops_rel)
+    return (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
+            relation_pair2, sync, flops_detect + flops_rel)
 
 
 def _time_window(fn, sync, iters):
@@ -134,28 +167,40 @@ def _time_window(fn, sync, iters):
 
 
 def main():
-    (e2e_video, detect_only, relation_only, detect_batch2, sync,
-     flops_video) = build()
+    (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
+     relation_pair2, sync, flops_video) = build()
 
     dt_detect = _time_window(detect_only, sync, 10)
     dt_rel = _time_window(relation_only, sync, 10)
+    dt_rel_p2 = _time_window(relation_pair2, sync, 10) / 2   # per video
     dt_detect_b2 = _time_window(detect_batch2, sync, 5) / 2  # per video
     dt_e2e = _time_window(e2e_video, sync, 6)
+    dt_e2e_pair = _time_window(e2e_pair, sync, 5) / 2        # per video
 
     fps_e2e = FRAMES / dt_e2e
+    fps_pair = FRAMES / dt_e2e_pair
+    # headline = best CLI-reachable serving config (--pair_detect 2 when it
+    # wins, the default single-video path otherwise)
+    fps_best = max(fps_e2e, fps_pair)
     fps_device = FRAMES / (dt_detect + dt_rel)
-    mfu = flops_video / dt_e2e / V5E_BF16_PEAK if flops_video else None
+    mfu = (
+        flops_video * fps_best / FRAMES / V5E_BF16_PEAK
+        if flops_video else None
+    )
     print(
         json.dumps(
             {
                 "metric": "sgdet_frames_per_sec_per_chip",
-                "value": round(fps_e2e, 2),
+                "value": round(fps_best, 2),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(fps_e2e / BASELINE_FPS_ESTIMATE, 2),
+                "vs_baseline": round(fps_best / BASELINE_FPS_ESTIMATE, 2),
+                "e2e_fps_single": round(fps_e2e, 2),
+                "e2e_fps_pair_detect2": round(fps_pair, 2),
                 "device_only_fps": round(fps_device, 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),
                 "detect_ms_per_video_batch2": round(dt_detect_b2 * 1e3, 1),
                 "relation_ms_per_video": round(dt_rel * 1e3, 1),
+                "relation_ms_per_video_pair2": round(dt_rel_p2 * 1e3, 1),
                 "host_overhead_ms_per_video": round(
                     (dt_e2e - dt_detect - dt_rel) * 1e3, 1
                 ),

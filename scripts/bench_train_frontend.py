@@ -68,6 +68,32 @@ def main():
     sync(entry.features)
     dt_frontend = (time.perf_counter() - t0) / iters
 
+    # paired train frontend (--pair_detect 2): one detect dispatch + ONE
+    # grouped small-array transfer for two videos
+    video_b = jnp.asarray(
+        np.random.RandomState(1).rand(FRAMES, H, W, 3).astype(np.float32)
+    )
+    ann_b = synthetic_video_annotation(
+        num_frames=FRAMES, objs_per_frame=3, seed=1, image_wh=(W, H)
+    )
+    hw_t = (float(H), float(W))
+    vs_t = (float(W), float(H))
+    pair_vids = [
+        (video, hw_t, 1.0, vs_t, FRAMES),
+        (video_b, hw_t, 1.0, vs_t, FRAMES),
+    ]
+
+    def frontend_pair_once():
+        return frontend.train_pair(pair_vids, [ann, ann_b])
+
+    res = frontend_pair_once()  # warm/compile
+    sync(res[-1][0].features)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        res = frontend_pair_once()
+    sync(res[-1][0].features)
+    dt_frontend_pair = (time.perf_counter() - t0) / 5 / 2  # per video
+
     cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
     model = Tempura(cfg)
     state = create_train_state(
@@ -86,8 +112,12 @@ def main():
 
     print(json.dumps({
         "train_frontend_ms_per_video": round(dt_frontend * 1e3, 1),
+        "train_frontend_pair2_ms_per_video": round(dt_frontend_pair * 1e3, 1),
         "relation_train_step_ms_per_video": round(dt_step * 1e3, 1),
         "sgdet_train_fps": round(FRAMES / (dt_frontend + dt_step), 1),
+        "sgdet_train_fps_pair2": round(
+            FRAMES / (dt_frontend_pair + dt_step), 1
+        ),
     }))
 
 

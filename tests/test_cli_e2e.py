@@ -59,6 +59,8 @@ def ag_root(tmp_path_factory):
         add_frame("B.mp4", f, "train")
     for f in range(3):  # test-split video
         add_frame("C.mp4", f, "test")
+    for f in range(3):  # second test-split video (same canvas -> pairs)
+        add_frame("D.mp4", f, "test", objs=("chair", "food"))
 
     with open(root / "annotations/person_bbox.pkl", "wb") as fh:
         pickle.dump(person, fh)
@@ -181,3 +183,20 @@ def test_tempura_sgdet_train_cli(ag_root, tmp_path):
     )
     assert os.path.isdir(os.path.join(ckpt, "checkpoint_0"))
     assert os.path.getsize(os.path.join(ckpt, "log_val.txt")) > 0
+
+    # serving: --pair_detect 2 (paired detect dispatch + vmapped fused
+    # relation stage) must reproduce the single-video test CLI's metrics
+    from vidsgg.cli import tempura_test
+
+    test_flags = ["--mode", "sgdet", "--ckpt", ckpt,
+                  "--ckpt_name", "checkpoint_0",
+                  "--output_path", str(tmp_path / "out_sgdet")
+                  ] + _common_flags(ag_root)
+    evs_single = tempura_test.main(test_flags)
+    evs_paired = tempura_test.main(test_flags + ["--pair_detect", "2"])
+    for ev_s, ev_p in zip(evs_single, evs_paired):
+        for k in ev_s.KS:
+            assert np.isfinite(ev_p.recall_at(k))
+            np.testing.assert_allclose(
+                ev_p.recall_at(k), ev_s.recall_at(k), atol=1e-6
+            )

@@ -77,6 +77,105 @@ def test_pair_matches_single(frontend):
             )
 
 
+class _FakeDataset:
+    """Three same-resolution videos -> one pair + one remainder at
+    pair_detect=2."""
+
+    def __init__(self, n=3):
+        rng = np.random.RandomState(11)
+        self.gt_annotations = [
+            [[{"person_bbox": np.array([[2.0, 2.0, 20.0, 30.0]])},
+              {"bbox": np.array([5.0, 5.0, 25.0, 25.0]), "class": 3,
+               "attention_relationship": [0], "spatial_relationship": [1],
+               "contacting_relationship": [2]}]
+             for _ in range(F)]
+            for _ in range(n)
+        ]
+        self._frames = [
+            rng.rand(F, H, W, 3).astype(np.float32) for _ in range(n)
+        ]
+
+    def __len__(self):
+        return len(self._frames)
+
+    def load_video_frames(self, i):
+        return self._frames[i], 1.0
+
+
+def test_source_pairing_matches_single(frontend):
+    from vidsgg.cli.data_source import make_sgdet_source
+
+    ds = _FakeDataset(3)
+    cv = ((H, W),)
+    single = make_sgdet_source(
+        ds, CAP, frontend, shuffle=False, canvases=cv, frame_buckets=(F,)
+    )
+    paired = make_sgdet_source(
+        ds, CAP, frontend, shuffle=False, canvases=cv, frame_buckets=(F,),
+        pair_detect=2,
+    )
+    got_s = {id_: e for id_, (e, _, _) in enumerate(single())}
+    got_p = list(paired())
+    assert len(got_p) == 3 and paired.stats.yielded == 3
+    # pairing reorders (pairs flush when filled, remainders at the end);
+    # match each paired entry to a single-path entry by its box content
+    for e, fm, _ in got_p:
+        match = min(
+            got_s,
+            key=lambda k: float(
+                np.abs(np.asarray(got_s[k].boxes) - np.asarray(e.boxes)).sum()
+            ),
+        )
+        se = got_s.pop(match)
+        for name in ("boxes", "scores", "distribution", "features",
+                     "obj_mask", "pred_labels"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(e, name)), np.asarray(getattr(se, name)),
+                rtol=2e-5, atol=1e-5, err_msg=name,
+            )
+
+
+def test_train_pair_matches_single(frontend):
+    """train_pair (one detect dispatch + one grouped small transfer) must
+    reproduce the single-video train frontend exactly."""
+    from vidsgg.data import synthetic_video_annotation
+
+    rng = np.random.RandomState(3)
+    vids, anns = [], []
+    for seed in (0, 1):
+        anns.append(
+            synthetic_video_annotation(
+                num_frames=F, objs_per_frame=2, seed=seed, image_wh=(W, H)
+            )
+        )
+        frames = jnp.asarray(rng.rand(F, H, W, 3), jnp.float32)
+        vids.append(
+            (frames, (float(H), float(W)), 1.0, (float(W), float(H)), F)
+        )
+    paired = frontend.train_pair(vids, anns)
+    for (frames, hw, scale, vsize, nf), ann, res in zip(vids, anns, paired):
+        assert res is not None
+        pe, pbf = res
+        se, sbf = frontend(
+            frames, jnp.asarray(hw), scale, gt_annotation=ann,
+            is_train=True, video_size=vsize, num_frames=nf,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pbf), np.asarray(sbf), rtol=2e-5, atol=1e-5
+        )
+        for name in (
+            "boxes", "labels", "scores", "distribution", "features",
+            "obj_mask", "im_idx", "pair_idx", "pair_mask", "attention_gt",
+            "spatial_gt", "contacting_gt", "union_feat", "spatial_masks",
+            "human_idx",
+        ):
+            np.testing.assert_allclose(
+                np.asarray(getattr(pe, name)),
+                np.asarray(getattr(se, name)),
+                rtol=2e-5, atol=1e-5, err_msg=name,
+            )
+
+
 def test_per_frame_hw_scale_detect_matches_per_video(frontend):
     """make_detect_fn with [F,2]/[F] operands == two scalar-operand calls."""
     vids = _videos()

@@ -283,6 +283,7 @@ def make_sgdet_source(
     max_videos: int | None = None,
     canvases=DEFAULT_CANVASES,
     frame_buckets: tuple = (8, 16, 32, 64),
+    pair_detect: int = 1,
 ):
     """Full-detection source: raw frames -> SgdetFrontend -> (entry, fmaps, gt).
 
@@ -292,14 +293,30 @@ def make_sgdet_source(
     (canvas, bucket) pair instead of once per video shape; the true (h, w)
     still bounds proposal clipping and ``num_frames`` masks the padding
     frames' detections.
+
+    ``pair_detect`` > 1 batches that many same-(canvas, bucket) videos
+    through ONE detect dispatch (``SgdetFrontend.eval_pair`` /
+    ``train_pair``) — the larger conv batch amortizes the detector's
+    thin-channel ResNet stages (measured ~13% off detect time at 2), and on
+    the train side the ONE grouped small-array transfer also amortizes the
+    tunnel round trip (docs/PERF.md). Bucket remainders fall back to the
+    single-video frontend.
     """
     rng = np.random.RandomState(seed)
     stats = SourceStats()
+
+    def run_single(pad, h, w, scale, f, ann):
+        return frontend(
+            jnp.asarray(pad), jnp.array([float(h), float(w)]),
+            scale, gt_annotation=ann, is_train=is_train,
+            video_size=(w / scale, h / scale), num_frames=f,
+        )
 
     def source():
         stats.reset()
         n = len(dataset) if max_videos is None else min(max_videos, len(dataset))
         order = rng.permutation(len(dataset))[:n] if shuffle else np.arange(n)
+        pending: dict[tuple, list] = {}
         for i in order:
             ann = dataset.gt_annotations[i]
             if len(ann) > entry_cap.max_frames:
@@ -316,17 +333,48 @@ def make_sgdet_source(
             )
             pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
             pad[:f, :h, :w] = frames
-            try:
-                entry, fmaps = frontend(
-                    jnp.asarray(pad), jnp.array([float(h), float(w)]),
-                    scale, gt_annotation=ann, is_train=is_train,
-                    video_size=(w / scale, h / scale), num_frames=f,
+            pair_ok = pair_detect > 1 and (
+                is_train
+                or entry_cap.max_objs >= fpad * frontend.caps.dets_per_frame
+            )
+            if pair_ok:
+                buf = pending.setdefault((canvas, fpad), [])
+                buf.append(
+                    ((pad, (float(h), float(w)), scale,
+                      (w / scale, h / scale), f), ann)
                 )
+                if len(buf) == pair_detect:
+                    if is_train:
+                        results = frontend.train_pair(
+                            [b[0] for b in buf], [b[1] for b in buf]
+                        )
+                    else:
+                        results = frontend.eval_pair([b[0] for b in buf])
+                    for res, (_, a) in zip(results, buf):
+                        if res is None:  # over-capacity video in the group
+                            stats.skipped += 1
+                            continue
+                        stats.yielded += 1
+                        yield res[0], res[1], a
+                    buf.clear()
+                continue
+            try:
+                entry, fmaps = run_single(pad, h, w, scale, f, ann)
             except ValueError:  # over-capacity detections
                 stats.skipped += 1
                 continue
             stats.yielded += 1
             yield entry, jnp.asarray(fmaps), ann
+        # bucket remainders that never filled a pair: single-video frontend
+        for buf in pending.values():
+            for (pad, hw, scale, _vsize, f), ann in buf:
+                try:
+                    entry, fmaps = run_single(pad, hw[0], hw[1], scale, f, ann)
+                except ValueError:
+                    stats.skipped += 1
+                    continue
+                stats.yielded += 1
+                yield entry, jnp.asarray(fmaps), ann
         if stats.skipped:
             print(
                 f"[sgdet_source] skipped {stats.skipped} over-capacity videos "

@@ -81,7 +81,8 @@ def main(argv=None):
 
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
-                                    max_videos=max_videos, canvases=canvases)
+                                    max_videos=max_videos, canvases=canvases,
+                                    pair_detect=cfg.pair_detect)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
                                  max_videos=max_videos, buckets=buckets,
@@ -97,13 +98,17 @@ def main(argv=None):
     from vidsgg.train.eval_pipeline import EvalPipeline
 
     pipeline = EvalPipeline(cfg.mode, cap, needs_union=False)
+    paired = None
+    if cfg.mode == "sgdet" and cfg.pair_detect > 1:
+        from vidsgg.train.pair_eval import PairedSgdetEval
+
+        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect)
     evs = get_ag_evaluators(cfg.mode)
     tc_s, tc_c = [], []
     t0, n = time.time(), 0
-    for entry, fmaps, gt in src():
-        if max_videos is not None and n >= max_videos:
-            break
-        pred = pipeline(state, entry, fmaps, gt_entry=entry)
+
+    def consume(pred, gt):
+        nonlocal n
         for ev in evs:
             ev.evaluate_scene_graph(gt, pred)
         if cfg.mode != "sgdet":
@@ -112,6 +117,19 @@ def main(argv=None):
                 tc_s.extend(s)
                 tc_c.extend(c)
         n += 1
+
+    for entry, fmaps, gt in src():
+        if max_videos is not None and n >= max_videos:
+            break
+        if paired is not None:
+            for pred, g in paired.add(state, entry, fmaps, gt_entry=entry,
+                                      payload=gt):
+                consume(pred, g)
+            continue
+        consume(pipeline(state, entry, fmaps, gt_entry=entry), gt)
+    if paired is not None:
+        for pred, g in paired.flush(state):
+            consume(pred, g)
     print(f"evaluated {n} videos in {time.time() - t0:.1f}s")
     for name, ev in zip(("with", "semi", "no"), evs):
         ev.print_stats(metric=name)

@@ -80,7 +80,8 @@ def main(argv=None):
 
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
-                                    max_videos=max_videos, canvases=canvases)
+                                    max_videos=max_videos, canvases=canvases,
+                                    pair_detect=cfg.pair_detect)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
                                  max_videos=max_videos, buckets=buckets,
@@ -105,16 +106,22 @@ def main(argv=None):
         # frame are bounded by 2*dets_per_frame - 1 -> grouped union pooling
         union_pairs_per_frame=32 if cfg.mode == "sgdet" else None,
     )
+    # sgdet + --pair_detect: the fused relation stage also runs vmapped
+    # over the paired group (one dispatch amortizes its fixed latency)
+    paired = None
+    if cfg.mode == "sgdet" and cfg.pair_detect > 1:
+        from vidsgg.train.pair_eval import PairedSgdetEval
+
+        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect)
     # per-class recall pickles land in output_path (the reference dumps
     # them from print_stats, evaluation_recall.py:79-83)
     evs = get_ag_evaluators(cfg.mode, output_dir=cfg.output_path)
     tc_s, tc_c = [], []
     t0 = time.time()
     n = 0
-    for entry, fmaps, gt in src():
-        if max_videos is not None and n >= max_videos:
-            break
-        pred = pipeline(state, entry, fmaps, gt_entry=entry)
+
+    def consume(pred, gt):
+        nonlocal n
         for ev in evs:
             ev.evaluate_scene_graph(gt, pred)
         if cfg.mode != "sgdet":
@@ -123,6 +130,19 @@ def main(argv=None):
                 tc_s.extend(s)
                 tc_c.extend(c)
         n += 1
+
+    for entry, fmaps, gt in src():
+        if max_videos is not None and n >= max_videos:
+            break
+        if paired is not None:
+            for pred, g in paired.add(state, entry, fmaps, gt_entry=entry,
+                                      payload=gt):
+                consume(pred, g)
+            continue
+        consume(pipeline(state, entry, fmaps, gt_entry=entry), gt)
+    if paired is not None:
+        for pred, g in paired.flush(state):
+            consume(pred, g)
     dt = time.time() - t0
     print(f"evaluated {n} videos in {dt:.1f}s")
     for name, ev in zip(("with", "semi", "no"), evs):

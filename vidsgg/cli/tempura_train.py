@@ -78,10 +78,11 @@ def main(argv=None):
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             train_src = make_sgdet_source(
                 train_ds, cap, frontend, is_train=True, seed=cfg.seed,
-                canvases=canvases,
+                canvases=canvases, pair_detect=cfg.pair_detect,
             )
             val_src = make_sgdet_source(test_ds, cap, frontend, shuffle=False,
-                                        canvases=canvases)
+                                        canvases=canvases,
+                                        pair_detect=cfg.pair_detect)
         else:
             train_src = make_ag_source(train_ds, cap, det, det_vars,
                                        seed=cfg.seed, buckets=buckets,

@@ -55,6 +55,8 @@ class TeatGTRunConfig:
     frame_size: int = 600
     tiny_detector: bool = False
     bucket_frames: int = 64
+    # sgdet eval: videos per detect dispatch (see configs/tempura.py)
+    pair_detect: int = 1
 
     def __post_init__(self):
         if self.mode != "predcls":  # teatgt_config.py:11-14
@@ -106,6 +108,7 @@ class TeatGTRunConfig:
         p.add_argument("--frame_size", type=int, default=600)
         p.add_argument("--tiny_detector", action="store_true")
         p.add_argument("--bucket_frames", type=int, default=64)
+        p.add_argument("--pair_detect", type=int, default=1)
         return cls(**vars(p.parse_args(argv)))
 
     def model_config(self, caps: ClipCaps | None = None) -> TeatGTConfig:

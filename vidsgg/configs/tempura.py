@@ -67,6 +67,9 @@ class TempuraRunConfig:
     frame_size: int = 600
     tiny_detector: bool = False
     bucket_frames: int = 64
+    # sgdet eval: videos per detect dispatch (same-canvas pairing amortizes
+    # the thin-channel ResNet stages; docs/PERF.md). 1 = single-video.
+    pair_detect: int = 1
 
     def __post_init__(self):
         # mode-conditional mutation (tempura_config.py:25-28)
@@ -130,6 +133,7 @@ class TempuraRunConfig:
         p.add_argument("--frame_size", type=int, default=600)
         p.add_argument("--tiny_detector", action="store_true")
         p.add_argument("--bucket_frames", type=int, default=64)
+        p.add_argument("--pair_detect", type=int, default=1)
         args = vars(p.parse_args(argv))
         args["mem_feat_lambda"] = float(args["mem_feat_lambda"])
         return cls(**args)

@@ -44,6 +44,13 @@ def _slice_video(tree, i: int):
     return jax.tree.map(lambda a: a[i], tree)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _slice_frames(tree, i: int, f: int):
+    """One fused device slice of frame-concatenated arrays [V*F, ...] ->
+    video i's [F, ...] rows."""
+    return jax.tree.map(lambda a: a[i * f:(i + 1) * f], tree)
+
+
 @dataclasses.dataclass(frozen=True)
 class SgdetCaps:
     dets_per_frame: int = 16
@@ -435,7 +442,10 @@ class SgdetFrontend:
         video, everything on device — feed each into the fused relation
         stage exactly like the single-video path.
         """
-        frames = jnp.concatenate([np.asarray(v[0]) for v in videos], axis=0)
+        # NOTE: never np.asarray the frames here — they may already live on
+        # device, and a host round trip of ~100 MB/video through the tunnel
+        # would swamp the batching win
+        frames = jnp.concatenate([v[0] for v in videos], axis=0)
         im_hw = jnp.asarray(
             [np.asarray(v[1], np.float32) for v in videos]
         )
@@ -448,6 +458,54 @@ class SgdetFrontend:
             self.variables, frames, im_hw, scales, vsizes, nframes
         )
         return [(_slice_video(e, i), bf[i]) for i in range(len(videos))]
+
+    def train_pair(self, videos, annotations):
+        """Paired TRAIN frontend: one detect dispatch AND one small-array
+        host transfer for several same-(canvas, frame-bucket) videos.
+
+        ``videos``: list of (frames [F,H,W,3], im_hw (h, w), im_scale,
+        video_size (w, h), num_frames); ``annotations`` the matching GT.
+        Returns [(entry, base_feat) | None] per video (None where the video
+        exceeds capacity). Beyond the conv-batch win, the ONE batched
+        ``device_get`` amortizes the ~28 ms tunnel round trip across the
+        group — the round trip dominated the fused single-video frontend
+        (docs/PERF.md "SGDet training path").
+        """
+        v = len(videos)
+        f = videos[0][0].shape[0]
+        frames = jnp.concatenate([x[0] for x in videos], axis=0)
+        hw_pf = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(x[1], jnp.float32), (f, 2))
+             for x in videos]
+        )
+        sc_pf = jnp.concatenate(
+            [jnp.full((f,), float(x[2]), jnp.float32) for x in videos]
+        )
+        dets = self.detect(self.variables, frames, hw_pf, sc_pf)
+        small = jax.device_get(
+            {k: dets[k] for k in ("boxes", "scores", "mask")}
+        )
+        out = []
+        for i, ((_, _hw, scale, vsize, nf), ann) in enumerate(
+            zip(videos, annotations)
+        ):
+            sl = slice(i * f, (i + 1) * f)
+            mask = small["mask"][sl] & (np.arange(f) < nf)[:, None]
+            try:
+                plan = self._train_plan(
+                    small["boxes"][sl], small["scores"][sl], mask, ann,
+                    scale, vsize, nf,
+                )
+            except ValueError:
+                out.append(None)
+                continue
+            feats_i, dists_i, bf_i = _slice_frames(
+                (dets["features"], dets["dists"], dets["base_feat"]), i, f
+            )
+            entry = self.train_pack(self.variables, feats_i, dists_i,
+                                    bf_i, plan)
+            out.append((entry, bf_i))
+        return out
 
     def _train_call(self, dets, frames, gt_annotation, im_scale, video_size,
                     num_frames):
