@@ -238,3 +238,101 @@ def test_vidvrd_cli_data_parallel():
         "--seed", "5",
     ])
     assert all(np.isfinite(v) for v in summary.values())
+
+
+def _sgdet_videos(n, seed0=3):
+    """sgdet-style entries: GT-featurized boxes wearing detector-style
+    class distributions + pred_labels (what the sgdet frontend emits)."""
+    from vidsgg.data import EntryCapacity, build_gt_entry
+    from vidsgg.data.synthetic import synthetic_base_fmaps
+    from vidsgg.detector import featurize_gt_entry
+    from vidsgg.models import Tempura, TempuraConfig
+
+    cap = EntryCapacity(max_frames=8, max_objs=24, max_pairs=16)
+    w = jax.random.normal(jax.random.PRNGKey(7), (1024, 2048)) * 0.02
+    feat = jax.jit(
+        lambda e, f: featurize_gt_entry(e, f, lambda p: p.mean(axis=(1, 2)) @ w)
+    )
+    videos, anns = [], []
+    for s in range(n):
+        ann = _ann(seed0 + s)
+        entry = build_gt_entry(ann, cap)
+        fmaps = jnp.array(
+            synthetic_base_fmaps(cap.max_frames, hw=(6, 10), seed=seed0 + s)
+        )
+        entry = feat(entry, fmaps)
+        rng = np.random.RandomState(seed0 + s)
+        dist = rng.rand(cap.max_objs, 36).astype(np.float32)
+        dist = dist / dist.sum(1, keepdims=True)
+        dist *= np.asarray(entry.obj_mask)[:, None]
+        det_labels = rng.randint(1, 37, cap.max_objs)
+        det_labels = (det_labels * np.asarray(entry.obj_mask)).astype(np.int32)
+        entry = entry.replace(
+            distribution=jnp.asarray(dist), pred_labels=jnp.asarray(det_labels)
+        )
+        videos.append((entry, fmaps))
+        anns.append(ann)
+    cfg = TempuraConfig.for_mode("sgdet", rel_head="gmm", enc_layers=1,
+                                 dec_layers=1)
+    return cfg, Tempura(cfg), cap, videos, anns
+
+
+def test_parallel_sgdet_eval_matches_per_video():
+    """The vmapped sgdet fused eval stage (classify -> device clean_class/
+    NMS/relabel/pair rebuild -> union refeaturize -> relation) equals the
+    per-video jit on a 2-mesh, overflow flags included."""
+    from vidsgg.runtime.mesh import make_mesh
+    from vidsgg.runtime.parallel import (
+        make_parallel_sgdet_eval_step, stack_entries,
+    )
+    from vidsgg.train.eval_pipeline import sgdet_fused_stage
+
+    cfg, model, cap, videos, _ = _sgdet_videos(2)
+    state = _state(model, cfg, videos[0][0])
+
+    singles = [sgdet_fused_stage(state, e, f, True, None) for e, f in videos]
+
+    mesh = make_mesh(2)
+    with mesh:
+        step = make_parallel_sgdet_eval_step(mesh)
+        e2_b, out_b, ovf_b = step(
+            state, stack_entries([e for e, _ in videos]),
+            jnp.stack([f for _, f in videos]),
+        )
+    for i, (e2, out, ovf) in enumerate(singles):
+        assert bool(np.asarray(ovf_b)[i]) == bool(ovf)
+        for key in ("attention_distribution", "spatial_distribution",
+                    "contacting_distribution"):
+            np.testing.assert_allclose(
+                np.asarray(out[key]), np.asarray(out_b[key])[i],
+                rtol=1e-4, atol=1e-5,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(e2.pred_labels), np.asarray(e2_b.pred_labels)[i]
+        )
+
+
+def test_run_training_sgdet_data_parallel(tmp_path):
+    """Full sgdet loop at dp=2: grouped train steps plus sharded sgdet
+    validation through the vmapped fused stage (overflow fallback path
+    compiled in)."""
+    from vidsgg.train.metrics import MetricsWriter
+
+    cfg, model, cap, videos, anns = _sgdet_videos(4)
+    state = _state(model, cfg, videos[0][0])
+    loop_cfg = TrainLoopConfig(
+        mode="sgdet", nepoch=1, log_iter=2, save_path=str(tmp_path),
+        mem_enabled=True, data_parallel=2,
+        compute_temporal_consistency=False,
+    )
+    writer = MetricsWriter(str(tmp_path))
+    flags = LossFlags(mode="sgdet")
+    stream = [(e, f, anns[i]) for i, (e, f) in enumerate(videos)]
+    state = run_training(
+        state, flags, loop_cfg,
+        lambda: iter(stream), lambda: iter(stream),
+        cap, writer, jax.random.PRNGKey(9), model_cfg=cfg,
+    )
+    writer.close()
+    assert int(state.step) == 2  # two full dp=2 groups, no remainder
+    assert float(jnp.abs(state.rel_memory).sum()) > 0

@@ -104,3 +104,30 @@ def test_requires_sgdet_device_postprocess():
         PairedSgdetEval(EvalPipeline("sgcls", CAP))
     with pytest.raises(ValueError):
         PairedSgdetEval(EvalPipeline("sgdet", CAP, device_postprocess=False))
+
+
+def test_run_batched_matches_single():
+    """The zero-restack group path (run_batched on a pre-batched entry)
+    equals the single-video pipeline, GT attachment included."""
+    from vidsgg.train.pair_eval import _stack_trees
+
+    vids = [_sgdet_entry(s) for s in (3, 5)]
+    state = _state(vids[0][1])
+    pipeline = EvalPipeline("sgdet", CAP)
+    paired = PairedSgdetEval(pipeline, group=2)
+
+    entry_b = _stack_trees(tuple(e for _, e, _ in vids))
+    fm_b = jnp.stack([f for _, _, f in vids])
+    got = paired.run_batched(state, entry_b, fm_b, payloads=[0, 1])
+    assert [p for _, p in got] == [0, 1]
+
+    for (pred, i), (_, e, f) in zip(got, vids):
+        ref = pipeline(state, e, f, gt_entry=e)
+        for k in PRED_KEYS:
+            np.testing.assert_allclose(
+                np.asarray(pred[k]), np.asarray(ref[k]),
+                rtol=1e-4, atol=2e-4, err_msg=f"video {i}: {k}",
+            )
+        assert pred["attention_gt"] == ref["attention_gt"]
+        assert pred["spatial_gt"] == ref["spatial_gt"]
+        assert pred["contacting_gt"] == ref["contacting_gt"]

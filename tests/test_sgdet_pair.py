@@ -195,3 +195,56 @@ def test_per_frame_hw_scale_detect_matches_per_video(frontend):
                 np.asarray(single[k]),
                 rtol=2e-5, atol=1e-5, err_msg=k,
             )
+
+
+def test_eval_pair_batched_is_unsliced_eval_pair(frontend):
+    """eval_pair == eval_pair_batched sliced per video (the batched form
+    feeds the vmapped fused stage with zero restack dispatches)."""
+    vids = _videos()
+    e_b, bf_b = frontend.eval_pair_batched(vids)
+    sliced = frontend.eval_pair(vids)
+    assert np.asarray(bf_b).shape[0] == len(vids)
+    for i, (e_i, bf_i) in enumerate(sliced):
+        np.testing.assert_allclose(
+            np.asarray(bf_b)[i], np.asarray(bf_i), rtol=1e-6, atol=1e-6
+        )
+        for name in ("boxes", "scores", "distribution", "features",
+                     "obj_mask", "pred_labels"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(e_b, name))[i],
+                np.asarray(getattr(e_i, name)),
+                rtol=1e-6, atol=1e-6, err_msg=name,
+            )
+
+
+def test_source_pair_grouped_yields_batches(frontend):
+    """pair_grouped=True emits PairGroup batches whose slices equal the
+    sliced-mode stream (same videos, same content)."""
+    from vidsgg.cli.data_source import PairGroup, make_sgdet_source
+
+    ds = _FakeDataset(3)
+    cv = ((H, W),)
+    sliced = make_sgdet_source(
+        ds, CAP, frontend, shuffle=False, canvases=cv, frame_buckets=(F,),
+        pair_detect=2,
+    )
+    grouped = make_sgdet_source(
+        ds, CAP, frontend, shuffle=False, canvases=cv, frame_buckets=(F,),
+        pair_detect=2, pair_grouped=True,
+    )
+    flat = list(sliced())
+    items = list(grouped())
+    assert grouped.stats.yielded == 3
+    groups = [it for it in items if isinstance(it, PairGroup)]
+    singles = [it for it in items if not isinstance(it, PairGroup)]
+    assert len(groups) == 1 and len(singles) == 1  # 2+1 remainder
+    g = groups[0]
+    assert len(g.anns) == 2
+    for i in range(2):
+        e_s, _, _ = flat[i]
+        for name in ("boxes", "scores", "features", "pred_labels"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g.entry, name))[i],
+                np.asarray(getattr(e_s, name)),
+                rtol=1e-6, atol=1e-6, err_msg=name,
+            )

@@ -25,6 +25,20 @@ from vidsgg.detector.featurize import featurize_gt_entry
 
 
 @dataclasses.dataclass
+class PairGroup:
+    """A ``pair_detect`` group kept batched end-to-end (leading video axis
+    on ``entry``/``fmaps``): emitted by ``make_sgdet_source(...,
+    pair_grouped=True)`` for consumers that feed the vmapped fused stage
+    directly (``PairedSgdetEval.run_batched``). Slicing per video and
+    restacking later costs a chain of eager dispatches that outweighs the
+    batching win through the device tunnel."""
+
+    entry: object
+    fmaps: object
+    anns: list
+
+
+@dataclasses.dataclass
 class SourceStats:
     """Honest per-epoch accounting: how many videos flowed vs were dropped
     for exceeding every bucket (silent drops were a round-1 weakness)."""
@@ -284,6 +298,7 @@ def make_sgdet_source(
     canvases=DEFAULT_CANVASES,
     frame_buckets: tuple = (8, 16, 32, 64),
     pair_detect: int = 1,
+    pair_grouped: bool = False,
 ):
     """Full-detection source: raw frames -> SgdetFrontend -> (entry, fmaps, gt).
 
@@ -348,14 +363,25 @@ def make_sgdet_source(
                         results = frontend.train_pair(
                             [b[0] for b in buf], [b[1] for b in buf]
                         )
+                        for res, (_, a) in zip(results, buf):
+                            if res is None:  # over-capacity video in group
+                                stats.skipped += 1
+                                continue
+                            stats.yielded += 1
+                            yield res[0], res[1], a
+                    elif pair_grouped:
+                        # zero-restack serving path: the batch goes to the
+                        # consumer intact (PairedSgdetEval.run_batched)
+                        e_b, bf_b = frontend.eval_pair_batched(
+                            [b[0] for b in buf]
+                        )
+                        stats.yielded += len(buf)
+                        yield PairGroup(e_b, bf_b, [b[1] for b in buf])
                     else:
                         results = frontend.eval_pair([b[0] for b in buf])
-                    for res, (_, a) in zip(results, buf):
-                        if res is None:  # over-capacity video in the group
-                            stats.skipped += 1
-                            continue
-                        stats.yielded += 1
-                        yield res[0], res[1], a
+                        for res, (_, a) in zip(results, buf):
+                            stats.yielded += 1
+                            yield res[0], res[1], a
                     buf.clear()
                 continue
             try:

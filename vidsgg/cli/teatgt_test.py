@@ -82,7 +82,8 @@ def main(argv=None):
             frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
                                     max_videos=max_videos, canvases=canvases,
-                                    pair_detect=cfg.pair_detect)
+                                    pair_detect=cfg.pair_detect,
+                                    pair_grouped=cfg.pair_detect > 1)
         else:
             src = make_ag_source(ds, cap, det, det_vars, shuffle=False,
                                  max_videos=max_videos, buckets=buckets,
@@ -118,9 +119,17 @@ def main(argv=None):
                 tc_c.extend(c)
         n += 1
 
-    for entry, fmaps, gt in src():
+    from vidsgg.cli.data_source import PairGroup
+
+    for item in src():
         if max_videos is not None and n >= max_videos:
             break
+        if isinstance(item, PairGroup):  # batched straight off the detector
+            for pred, g in paired.run_batched(state, item.entry, item.fmaps,
+                                              item.anns):
+                consume(pred, g)
+            continue
+        entry, fmaps, gt = item
         if paired is not None:
             for pred, g in paired.add(state, entry, fmaps, gt_entry=entry,
                                       payload=gt):

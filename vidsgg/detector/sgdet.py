@@ -433,14 +433,17 @@ class SgdetFrontend:
         return self._eval_host_fallback(dets, frames, im_scale, video_size,
                                         num_frames)
 
-    def eval_pair(self, videos):
+    def eval_pair_batched(self, videos):
         """Paired test frontend: one detect dispatch for several
         same-(canvas, frame-bucket) videos.
 
         ``videos``: list of (frames [F,H,W,3], im_hw (h, w), im_scale,
-        video_size (w, h), num_frames). Returns [(entry, base_feat)] per
-        video, everything on device — feed each into the fused relation
-        stage exactly like the single-video path.
+        video_size (w, h), num_frames). Returns ``(entry, base_feat)``
+        with a leading video axis, everything on device — feed directly
+        into the vmapped fused relation stage (train/pair_eval.py). Keeping
+        the batch intact matters: slicing per video and restacking later
+        costs a chain of eager dispatches that measurably outweighs the
+        vmap win through the tunnel (docs/PERF.md "Paired detect").
         """
         # NOTE: never np.asarray the frames here — they may already live on
         # device, and a host round trip of ~100 MB/video through the tunnel
@@ -457,6 +460,12 @@ class SgdetFrontend:
         e, bf, _ = self.test_entry_pair(
             self.variables, frames, im_hw, scales, vsizes, nframes
         )
+        return e, bf
+
+    def eval_pair(self, videos):
+        """Like :meth:`eval_pair_batched` but sliced back to
+        [(entry, base_feat)] per video for per-video consumers."""
+        e, bf = self.eval_pair_batched(videos)
         return [(_slice_video(e, i), bf[i]) for i in range(len(videos))]
 
     def train_pair(self, videos, annotations):

@@ -143,6 +143,30 @@ def make_parallel_sgcls_eval_step(mesh, needs_union: bool = True):
     )
 
 
+def make_parallel_sgdet_eval_step(mesh, needs_union: bool = True,
+                                  union_ppf: int | None = None):
+    """Data-parallel sgdet test step: the fused stage (OSPU classify ->
+    on-device clean_class + grouped NMS + relabel + pair rebuild -> union
+    refeaturize -> relation forward) vmapped over a video batch sharded on
+    the mesh. Returns per-video overflow flags alongside (entry2, out);
+    the caller re-runs overflowing videos through the single-device
+    pipeline's host fallback, exactly like the unsharded fused stage."""
+    from vidsgg.train.eval_pipeline import _sgdet_fused
+
+    repl = replicate_sharding(mesh)
+    shard = data_sharding(mesh)
+
+    def step_fn(state: TrainState, batch: Entry, fmaps):
+        def fwd(entry, fm):
+            return _sgdet_fused(state, entry, fm, needs_union, union_ppf)
+
+        return jax.vmap(fwd)(batch, fmaps)
+
+    return jax.jit(
+        step_fn, in_shardings=(repl, shard, shard), out_shardings=shard
+    )
+
+
 def make_generic_parallel_train_step(model, tx, mesh):
     """Data-parallel step for the VidVRD generic-pair relation model
     (:mod:`vidsgg.models.generic_rel`): a batch of same-capacity chunk

@@ -98,7 +98,8 @@ class TrainLoopConfig:
     # with one optimizer step per group (gradients averaged across the
     # group's videos — the standard multi-chip generalization of the
     # reference's one-video steps). Epoch remainders fall back to the
-    # single-device step; predcls validation shards the same way.
+    # single-device step; validation shards the same way in every mode
+    # (predcls forward, sgcls/sgdet fused stages vmapped over the batch).
     data_parallel: int = 1
 
 
@@ -248,45 +249,63 @@ def run_training(
                     tc_s.extend(s)
                     tc_c.extend(c)
 
-        shard_val = dp > 1 and loop_cfg.mode in ("predcls", "sgcls")
+        shard_val = dp > 1 and loop_cfg.mode in ("predcls", "sgcls", "sgdet")
         if shard_val:
-            # predcls eval is one jit region per video, and the sgcls fused
-            # stage (classify -> device postprocess -> relation) is too —
-            # shard whole-video batches over the mesh, pull ONE batched
-            # transfer, then slice per video for the host evaluator. sgcls
-            # groups additionally by fmap canvas so the union-refeaturize
-            # input stacks. sgdet interleaves host fallbacks and stays
-            # per-video through the pipeline.
+            # predcls eval is one jit region per video, and the sgcls/sgdet
+            # fused stages (classify -> device postprocess -> relation) are
+            # too — shard whole-video batches over the mesh, pull ONE
+            # batched transfer, then slice per video for the host evaluator.
+            # sgcls/sgdet group additionally by fmap canvas so the
+            # union-refeaturize input stacks; sgdet videos whose device
+            # postprocess overflows fall back per-video through the
+            # pipeline (same fallback as the unsharded fused stage).
             from vidsgg.eval.adapter import to_eval_pred
             from vidsgg.train.eval_pipeline import EvalPipeline as _EP
 
-            par_sgcls = None
+            par_fused = None
             if loop_cfg.mode == "sgcls":
                 from vidsgg.runtime.parallel import (
                     make_parallel_sgcls_eval_step,
                 )
 
-                par_sgcls = make_parallel_sgcls_eval_step(mesh)
+                par_fused = make_parallel_sgcls_eval_step(mesh)
+            elif loop_cfg.mode == "sgdet":
+                from vidsgg.runtime.parallel import (
+                    make_parallel_sgdet_eval_step,
+                )
+
+                par_fused = make_parallel_sgdet_eval_step(mesh)
 
             val_pending: dict[tuple, list] = {}
             for entry, fmaps, gt in val_data():
                 sig = _entry_sig(entry)
-                if loop_cfg.mode == "sgcls":
+                if loop_cfg.mode in ("sgcls", "sgdet"):
                     sig = sig + (tuple(np.shape(fmaps)),)
                 group = val_pending.setdefault(sig, [])
                 group.append((entry, fmaps, gt))
                 if len(group) < dp:
                     continue
                 batch = stack_entries([e for e, _, _ in group])
-                if loop_cfg.mode == "sgcls":
-                    fmb = jnp.stack([f for _, f, _ in group])
-                    entry2_b, out_b = par_sgcls(state, batch, fmb)
+                if loop_cfg.mode in ("sgcls", "sgdet"):
+                    fmb = jnp.stack([jnp.asarray(f) for _, f, _ in group])
+                    res = par_fused(state, batch, fmb)
+                    if loop_cfg.mode == "sgdet":
+                        entry2_b, out_b, ovf_b = res
+                        ovf_b = np.asarray(ovf_b)
+                    else:
+                        entry2_b, out_b = res
+                        ovf_b = np.zeros(len(group), bool)
                     entry2_b, out_b = jax.device_get((entry2_b, out_b))
-                    for i, (e, _, g) in enumerate(group):
+                    for i, (e, f, g) in enumerate(group):
+                        if ovf_b[i]:  # rare clean_class blow-up -> host path
+                            consume_pred(
+                                pipeline(state, e, f, gt_entry=e), g
+                            )
+                            continue
                         pred = to_eval_pred(
                             jax.tree.map(lambda a: a[i], entry2_b),
                             jax.tree.map(lambda a: a[i], out_b),
-                            "sgcls",
+                            loop_cfg.mode,
                         )
                         consume_pred(_EP._attach_gt(pred, e), g)
                 else:

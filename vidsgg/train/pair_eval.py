@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidsgg.eval.adapter import to_eval_pred
-from vidsgg.runtime.parallel import stack_entries
 from vidsgg.train.eval_pipeline import (
     EvalPipeline,
     _cast_floating,
@@ -38,6 +37,14 @@ def _pair_fused(state, entries, fmaps, needs_union, union_ppf):
 
 
 sgdet_fused_pair_stage = jax.jit(_pair_fused, static_argnums=(3, 4))
+
+
+@jax.jit
+def _stack_trees(trees):
+    """ONE dispatch stacking a tuple of same-structure pytrees on a new
+    leading axis (eager per-leaf jnp.stack would pay ~a tunnel dispatch per
+    leaf — ~20 for an Entry)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
 def _sig(entry, fmaps) -> tuple:
@@ -106,8 +113,8 @@ class PairedSgdetEval:
             state = cast_state_for_serving(state, p.compute_dtype)
             entries = [_cast_floating(e, p.compute_dtype) for e in entries]
             fms = [_cast_floating(f, p.compute_dtype) for f in fms]
-        batch = stack_entries(entries)
-        fmb = jnp.stack([jnp.asarray(f) for f in fms])
+        batch = _stack_trees(tuple(entries))
+        fmb = _stack_trees(tuple(jnp.asarray(f) for f in fms))
         entry2_b, out_b, overflow = sgdet_fused_pair_stage(
             state, batch, fmb, p.needs_union, p.union_pairs_per_frame
         )
@@ -129,3 +136,61 @@ class PairedSgdetEval:
             )
             ready.append((EvalPipeline._attach_gt(pred, gt_entry), payload))
         return ready
+
+    def run_batched(self, state, entry_b, fmaps_b, payloads):
+        """Serve a pre-batched group straight from
+        ``SgdetFrontend.eval_pair_batched`` — the zero-restack fast path
+        (the detect jit emits the batch, the vmapped fused stage consumes
+        it; no per-video slicing dispatches in between).
+
+        ``entry_b``/``fmaps_b`` carry a leading video axis matching
+        ``payloads``. GT predicate lists for the temporal-consistency
+        bookkeeping come from the batched input entry itself (the detector
+        entry carries them, like the single path's ``gt_entry=entry``).
+        """
+        from vidsgg.detector.sgdet import _slice_video
+
+        p = self.pipeline
+        if p.compute_dtype is not None:
+            state = cast_state_for_serving(state, p.compute_dtype)
+            entry_b = _cast_floating(entry_b, p.compute_dtype)
+            fmaps_b = _cast_floating(fmaps_b, p.compute_dtype)
+        fmaps_b = jnp.asarray(fmaps_b)
+        entry2_b, out_b, overflow = sgdet_fused_pair_stage(
+            state, entry_b, fmaps_b, p.needs_union, p.union_pairs_per_frame
+        )
+        overflow = np.asarray(overflow)
+        # two batched transfers total: outputs + the input entry's small GT
+        # predicate fields for _attach_gt
+        entry2_b, out_b = jax.device_get((entry2_b, out_b))
+        gt_pm, gt_att, gt_sp, gt_con = jax.device_get((
+            entry_b.pair_mask, entry_b.attention_gt,
+            entry_b.spatial_gt, entry_b.contacting_gt,
+        ))
+        ready = []
+        for i, payload in enumerate(payloads):
+            if bool(overflow[i]):  # rare clean_class blow-up -> host path
+                e_i = _slice_video(entry_b, i)
+                ready.append(
+                    (p(state, e_i, fmaps_b[i], gt_entry=e_i), payload)
+                )
+                continue
+            pred = to_eval_pred(
+                jax.tree.map(lambda a: a[i], entry2_b),
+                jax.tree.map(lambda a: a[i], out_b),
+                "sgdet",
+            )
+            gt_view = _GtView(gt_pm[i], gt_att[i], gt_sp[i], gt_con[i])
+            ready.append((EvalPipeline._attach_gt(pred, gt_view), payload))
+        return ready
+
+
+@dataclasses.dataclass
+class _GtView:
+    """Host view of one video's GT predicate fields (what
+    ``EvalPipeline._attach_gt`` reads off a gt_entry)."""
+
+    pair_mask: np.ndarray
+    attention_gt: np.ndarray
+    spatial_gt: np.ndarray
+    contacting_gt: np.ndarray
