@@ -94,6 +94,22 @@ def main():
     sync(res[-1][0].features)
     dt_frontend_pair = (time.perf_counter() - t0) / 5 / 2  # per video
 
+    # group of 4: the one batched transfer and detect dispatch amortize
+    # 4 ways
+    quad_vids = pair_vids + pair_vids
+    quad_anns = [ann, ann_b, ann, ann_b]
+
+    def frontend_quad_once():
+        return frontend.train_pair(quad_vids, quad_anns)
+
+    res = frontend_quad_once()
+    sync(res[-1][0].features)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        res = frontend_quad_once()
+    sync(res[-1][0].features)
+    dt_frontend_quad = (time.perf_counter() - t0) / 3 / 4  # per video
+
     cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
     model = Tempura(cfg)
     state = create_train_state(
@@ -113,10 +129,14 @@ def main():
     print(json.dumps({
         "train_frontend_ms_per_video": round(dt_frontend * 1e3, 1),
         "train_frontend_pair2_ms_per_video": round(dt_frontend_pair * 1e3, 1),
+        "train_frontend_pair4_ms_per_video": round(dt_frontend_quad * 1e3, 1),
         "relation_train_step_ms_per_video": round(dt_step * 1e3, 1),
         "sgdet_train_fps": round(FRAMES / (dt_frontend + dt_step), 1),
         "sgdet_train_fps_pair2": round(
             FRAMES / (dt_frontend_pair + dt_step), 1
+        ),
+        "sgdet_train_fps_pair4": round(
+            FRAMES / (dt_frontend_quad + dt_step), 1
         ),
     }))
 

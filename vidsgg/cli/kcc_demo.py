@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None)
     p.add_argument("--detector", default=None, help="faster_rcnn_ag.pth path")
     p.add_argument("--max_frames", type=int, default=32)
+    p.add_argument("--pair_detect", type=int, default=1,
+                   help="videos per detect/relation dispatch (same-shape "
+                        "videos batch; see docs/PERF.md 'Paired serving')")
+    # rehearsal hooks (shrunk detector + small frames; same code path)
+    p.add_argument("--tiny_detector", action="store_true")
+    p.add_argument("--frame_size", type=int, default=600)
     args = p.parse_args(argv)
 
     ds = KCCDataset(args.data_path)
@@ -45,17 +51,29 @@ def main(argv=None):
         raise SystemExit(f"no videos under {args.data_path}/dataset/<name>/frame/")
     print(f"KCC demo: {len(ds)} videos")
 
-    det = FasterRCNN(rpn_cfg=RPNConfig(pre_nms_top_n=2000, post_nms_top_n=128))
-    if args.detector:
-        from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+    from vidsgg.cli.data_source import scale_canvases
 
-        det_vars = load_faster_rcnn_checkpoint(args.detector)
-    else:
-        det_vars = jax.jit(det.init)(
-            jax.random.PRNGKey(0), jnp.zeros((4, 608, 1008, 3)),
-            jnp.array([608.0, 1008.0]),
+    canvases = scale_canvases(args.frame_size)
+    if args.tiny_detector:
+        from vidsgg.cli.data_source import build_detector
+
+        det, det_vars, canvases = build_detector(
+            args.detector, tiny=True, frame_size=args.frame_size
         )
-        print("WARNING: random detector weights (no --detector given)")
+    else:
+        det = FasterRCNN(
+            rpn_cfg=RPNConfig(pre_nms_top_n=2000, post_nms_top_n=128)
+        )
+        if args.detector:
+            from vidsgg.detector.convert import load_faster_rcnn_checkpoint
+
+            det_vars = load_faster_rcnn_checkpoint(args.detector)
+        else:
+            det_vars = jax.jit(det.init)(
+                jax.random.PRNGKey(0), jnp.zeros((4, 608, 1008, 3)),
+                jnp.array([608.0, 1008.0]),
+            )
+            print("WARNING: random detector weights (no --detector given)")
 
     cap = EntryCapacity(max_frames=args.max_frames, max_objs=128, max_pairs=128)
     frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=10), cap)
@@ -76,17 +94,33 @@ def main(argv=None):
         model = Tempura(cfg)
         pipeline = EvalPipeline("sgdet", cap)
 
+    paired = None
+    if args.pair_detect > 1:
+        from vidsgg.train.pair_eval import PairedSgdetEval
+
+        paired = PairedSgdetEval(pipeline, group=args.pair_detect)
+
     all_preds = {}
     state = None
     from vidsgg.cli.data_source import pick_canvas
 
+    def emit(pred, tag):
+        name, f = tag
+        all_preds.update(kcc_prediction_json(name, pred))
+        print(f"  {name}: {f} frames -> "
+              f"{len(pred['im_idx'])} triplet rows")
+
     for vi in range(len(ds)):
-        frames, scale, name = ds.load_video_frames(vi)
+        frames, scale, name = ds.load_video_frames(
+            vi, target_min_side=args.frame_size
+        )
         frames = frames[: args.max_frames]
         f, h, w, _ = frames.shape
         # canvas + frame buckets bound the detector compile set across the
         # demo's arbitrary video resolutions/lengths
-        canvas = pick_canvas(h, w) or (-(-h // 16) * 16, -(-w // 16) * 16)
+        canvas = pick_canvas(h, w, canvases) or (
+            -(-h // 16) * 16, -(-w // 16) * 16
+        )
         fpad = next((b for b in (8, 16, 32, 64) if f <= b <= args.max_frames), f)
         pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
         pad[:f, :h, :w] = frames
@@ -101,10 +135,15 @@ def main(argv=None):
             )
             if args.ckpt:
                 state = restore_checkpoint(args.ckpt, state, "best_recall")
-        pred = pipeline(state, entry, jnp.asarray(fmaps))
-        all_preds.update(kcc_prediction_json(name, pred))
-        print(f"  {name}: {f} frames -> "
-              f"{len(pred['im_idx'])} triplet rows")
+        if paired is not None:  # same-shape videos share one dispatch
+            for pred, tag in paired.add(state, entry, jnp.asarray(fmaps),
+                                        payload=(name, f)):
+                emit(pred, tag)
+            continue
+        emit(pipeline(state, entry, jnp.asarray(fmaps)), (name, f))
+    if paired is not None:
+        for pred, tag in paired.flush(state):
+            emit(pred, tag)
 
     dump_kcc_predictions(args.out, all_preds)
     print(f"predictions written to {args.out}")

@@ -37,14 +37,20 @@ class KCCDataset:
     def __len__(self):
         return len(self.video_names)
 
-    def load_video_frames(self, index: int):
+    def load_video_frames(self, index: int, target_min_side: int | None = None):
+        """``target_min_side`` overrides the min-side resize target (the
+        reference hardcodes 600; the demo CLI's --frame_size rehearsal hook
+        shrinks it, like the AG loader's)."""
         import cv2
 
+        from vidsgg import constants as C
+
+        target = target_min_side or C.TARGET_MIN_SIDE
         name = self.video_names[index]
         ims, scales = [], []
         for path in self.video_frames[name]:
             im = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-            im, scale = prep_im_for_blob(im)
+            im, scale = prep_im_for_blob(im, target)
             ims.append(im)
             scales.append(scale)
         return im_list_to_blob(ims), scales[0], name
