@@ -248,3 +248,50 @@ def test_source_pair_grouped_yields_batches(frontend):
                 np.asarray(getattr(e_s, name)),
                 rtol=1e-6, atol=1e-6, err_msg=name,
             )
+
+
+def test_pending_buffer_bound_drains_oldest(frontend):
+    """With many never-filling (canvas, bucket) keys, the source drains the
+    oldest buffer through the single path once 3*pair_detect videos are
+    pending (each buffered entry pins a full padded frame array on host) —
+    and still yields every video exactly once."""
+    from vidsgg.cli.data_source import make_sgdet_source
+
+    class _RaggedDataset:
+        """7 videos: 7 distinct (canvas, frame-bucket) keys."""
+
+        def __init__(self):
+            rng = np.random.RandomState(5)
+            specs = [((H, W), f) for f in (1, 2, 3, 4)] + \
+                    [((32, 48), f) for f in (1, 2, 3)]
+            self._frames = [
+                rng.rand(f, hw[0], hw[1], 3).astype(np.float32)
+                for hw, f in specs
+            ]
+            self.gt_annotations = [
+                [[{"person_bbox": np.array([[2.0, 2.0, 20.0, 28.0]])},
+                  {"bbox": np.array([5.0, 5.0, 25.0, 25.0]), "class": 3,
+                   "attention_relationship": [0], "spatial_relationship": [1],
+                   "contacting_relationship": [2]}]
+                 for _ in range(f)]
+                for _, f in specs
+            ]
+
+        def __len__(self):
+            return len(self._frames)
+
+        def load_video_frames(self, i):
+            return self._frames[i], 1.0
+
+    src = make_sgdet_source(
+        _RaggedDataset(), CAP, frontend, shuffle=False,
+        canvases=((32, 48), (H, W)), frame_buckets=(1, 2, 3, 4),
+        pair_detect=2,
+    )
+    got = list(src())
+    assert len(got) == 7 and src.stats.yielded == 7
+    assert src.stats.skipped == 0
+    # each yielded entry is a plain per-video tuple (no PairGroup — no
+    # group ever filled), with finite contents
+    for entry, fmaps, ann in got:
+        assert np.isfinite(np.asarray(entry.boxes)).all()

@@ -383,6 +383,27 @@ def make_sgdet_source(
                             stats.yielded += 1
                             yield res[0], res[1], a
                     buf.clear()
+                else:
+                    # bound host memory: each buffered pad is a full padded
+                    # frame array (up to ~0.5 GB at the 64-frame bucket);
+                    # past the cap, drain the oldest buffer through the
+                    # single-video path (same as end-of-epoch remainders)
+                    while (
+                        sum(len(b) for b in pending.values())
+                        > 3 * pair_detect
+                    ):
+                        key = next(k for k, b in pending.items() if b)
+                        for (opad, ohw, osc, _ov, of), oann in pending[key]:
+                            try:
+                                oe, ofm = run_single(
+                                    opad, ohw[0], ohw[1], osc, of, oann
+                                )
+                            except ValueError:
+                                stats.skipped += 1
+                                continue
+                            stats.yielded += 1
+                            yield oe, jnp.asarray(ofm), oann
+                        del pending[key]
                 continue
             try:
                 entry, fmaps = run_single(pad, h, w, scale, f, ann)

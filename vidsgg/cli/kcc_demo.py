@@ -39,8 +39,10 @@ def main(argv=None):
     p.add_argument("--detector", default=None, help="faster_rcnn_ag.pth path")
     p.add_argument("--max_frames", type=int, default=32)
     p.add_argument("--pair_detect", type=int, default=1,
-                   help="videos per detect/relation dispatch (same-shape "
-                        "videos batch; see docs/PERF.md 'Paired serving')")
+                   help="same-shape videos per fused relation dispatch "
+                        "(detection stays per-video here: the demo's "
+                        "capacity admits the fully-fused detect path only "
+                        "for short videos; see docs/PERF.md)")
     # rehearsal hooks (shrunk detector + small frames; same code path)
     p.add_argument("--tiny_detector", action="store_true")
     p.add_argument("--frame_size", type=int, default=600)

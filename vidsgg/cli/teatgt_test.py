@@ -46,6 +46,11 @@ def main(argv=None):
             else:
                 ckpt = val
     cfg = TeatGTRunConfig.from_args(argv)
+    if max_videos is not None and cfg.pair_detect > 1:
+        # pairing reorders and advances in group steps; exact first-N
+        # truncation is only well-defined unpaired (see tempura_test)
+        print("NOTE: --max_videos disables --pair_detect (exact truncation)")
+        cfg.pair_detect = 1
     print(f">>> TEAT-GT test: mode={cfg.mode}")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)

@@ -100,6 +100,9 @@ def main(argv=None):
 
     model_cfg = cfg.model_config(clips)
     model = TeatGT(model_cfg)
+    # epoch-indexed reference schedule vs optax step count: one optimizer
+    # step per N-video group under --data_parallel N (see tempura_train)
+    steps_per_epoch = max(1, -(-steps_per_epoch // max(cfg.data_parallel, 1)))
     tx = make_optimizer(base_lr=cfg.lr, warmup_period=cfg.warmup,
                         steps_per_epoch=steps_per_epoch)
     entry0, _, _ = next(iter(train_src()))

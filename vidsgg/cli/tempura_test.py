@@ -50,6 +50,12 @@ def main(argv=None):
             else:
                 ckpt = val
     cfg = TempuraRunConfig.from_args(argv)
+    if max_videos is not None and cfg.pair_detect > 1:
+        # pairing reorders videos (groups flush when filled) and advances
+        # in group steps, so an exact first-N truncation is only
+        # well-defined unpaired
+        print("NOTE: --max_videos disables --pair_detect (exact truncation)")
+        cfg.pair_detect = 1
     print(f">>> TEMPURA test: mode={cfg.mode}")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)

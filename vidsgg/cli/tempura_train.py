@@ -94,6 +94,11 @@ def main(argv=None):
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)
+    # the reference schedule is EPOCH-indexed (warmup epochs, 0.8^epoch
+    # decay) but optax counts OPTIMIZER steps; under --data_parallel N each
+    # N-video group is one step, so scale steps_per_epoch accordingly or
+    # the decay/warmup would run N times too slowly
+    steps_per_epoch = max(1, -(-steps_per_epoch // max(cfg.data_parallel, 1)))
     tx = make_optimizer(
         base_lr=cfg.lr, warmup_period=cfg.warmup, steps_per_epoch=steps_per_epoch
     )

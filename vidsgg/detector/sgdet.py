@@ -249,32 +249,6 @@ def make_test_entry_pair_fn(model: FasterRCNN, caps: SgdetCaps,
     return test_entry_pair
 
 
-def make_supply_fn(model: FasterRCNN):
-    """jit (variables, base_feat [F,h,w,1024], rois [K,5 net scale]) ->
-    (features [K, 2048], cls_prob [K, C]) — the SUPPLY re-pooling
-    (object_detector.py:206-210)."""
-
-    @jax.jit
-    def supply(variables, base_feat, rois):
-        pooled = roi_align(
-            base_feat, rois, out_size=C.ROI_ALIGN_OUT,
-            spatial_scale=C.ROI_ALIGN_SCALE,
-        )
-        feats = model.apply(variables, pooled, method="head_to_tail")
-        logits = model.apply(variables, feats, method="class_scores")
-        return feats, jax.nn.softmax(logits, axis=1)
-
-    return supply
-
-
-def make_class_score_fn(model: FasterRCNN):
-    @jax.jit
-    def score(variables, feats):
-        return model.apply(variables, feats, method="class_scores")
-
-    return score
-
-
 def make_train_pack_fn(model: FasterRCNN, caps: SgdetCaps,
                        entry_cap: EntryCapacity):
     """jit (variables, det_feats [F,D,2048], det_dists [F,D,C-1], base_feat,

@@ -123,7 +123,7 @@ def run_training(
     obj_dim = obj_memory_dim(model_cfg) if model_cfg is not None else 1024
 
     dp = max(int(loop_cfg.data_parallel), 1)
-    par_step = par_unc = par_eval = stack_entries = None
+    par_step = par_unc = par_eval = par_fused = stack_entries = None
     if dp > 1:
         from vidsgg.runtime.mesh import make_mesh, replicate_sharding
         from vidsgg.runtime.parallel import (
@@ -137,6 +137,18 @@ def run_training(
         par_eval = make_parallel_eval_step(mesh)
         if loop_cfg.mem_enabled:
             par_unc = make_parallel_eval_step(mesh, unc=True)
+        # the sharded-validation jit must be built ONCE here — a fresh
+        # wrapper per epoch would retrace + recompile the fused eval
+        # program (minutes on TPU) every validation pass
+        par_fused = None
+        if loop_cfg.mode == "sgcls":
+            from vidsgg.runtime.parallel import make_parallel_sgcls_eval_step
+
+            par_fused = make_parallel_sgcls_eval_step(mesh)
+        elif loop_cfg.mode == "sgdet":
+            from vidsgg.runtime.parallel import make_parallel_sgdet_eval_step
+
+            par_fused = make_parallel_sgdet_eval_step(mesh)
         state = jax.device_put(state, replicate_sharding(mesh))
 
     step_i = 0
@@ -261,20 +273,6 @@ def run_training(
             # pipeline (same fallback as the unsharded fused stage).
             from vidsgg.eval.adapter import to_eval_pred
             from vidsgg.train.eval_pipeline import EvalPipeline as _EP
-
-            par_fused = None
-            if loop_cfg.mode == "sgcls":
-                from vidsgg.runtime.parallel import (
-                    make_parallel_sgcls_eval_step,
-                )
-
-                par_fused = make_parallel_sgcls_eval_step(mesh)
-            elif loop_cfg.mode == "sgdet":
-                from vidsgg.runtime.parallel import (
-                    make_parallel_sgdet_eval_step,
-                )
-
-                par_fused = make_parallel_sgdet_eval_step(mesh)
 
             val_pending: dict[tuple, list] = {}
             for entry, fmaps, gt in val_data():
