@@ -137,7 +137,7 @@ def build():
         # batched end-to-end: the detect jit emits the video batch, the
         # vmapped fused stage consumes it — no per-video slice/restack
         # dispatches in between (they measurably outweigh the vmap win)
-        e_b, bf_b = frontend.eval_pair_batched(pair_args)
+        e_b, bf_b, _ = frontend.eval_pair_batched(pair_args)
         _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
                                              UNION_PPF)
         return out_b["contacting_distribution"]

@@ -65,7 +65,7 @@ def main():
         args = [(videos[i], hw_t, 1.0, vs_t, FRAMES) for i in range(g)]
 
         def run():
-            e_b, bf_b = frontend.eval_pair_batched(args)
+            e_b, bf_b, _ = frontend.eval_pair_batched(args)
             _, o, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
                                              2 * DETS_PER_FRAME)
             return o["contacting_distribution"]

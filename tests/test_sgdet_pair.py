@@ -201,9 +201,10 @@ def test_eval_pair_batched_is_unsliced_eval_pair(frontend):
     """eval_pair == eval_pair_batched sliced per video (the batched form
     feeds the vmapped fused stage with zero restack dispatches)."""
     vids = _videos()
-    e_b, bf_b = frontend.eval_pair_batched(vids)
+    e_b, bf_b, n_b = frontend.eval_pair_batched(vids)
     sliced = frontend.eval_pair(vids)
     assert np.asarray(bf_b).shape[0] == len(vids)
+    assert np.asarray(n_b).shape == (len(vids),)
     for i, (e_i, bf_i) in enumerate(sliced):
         np.testing.assert_allclose(
             np.asarray(bf_b)[i], np.asarray(bf_i), rtol=1e-6, atol=1e-6
@@ -295,3 +296,77 @@ def test_pending_buffer_bound_drains_oldest(frontend):
     # group ever filled), with finite contents
     for entry, fmaps, ann in got:
         assert np.isfinite(np.asarray(entry.boxes)).all()
+
+
+def test_compact_eval_matches_host_or_both_overflow(frontend):
+    """Compact regime (max_objs < frames*dets_per_frame): the device pack
+    keeps detections on device and must agree with the host-packing path —
+    either both produce the same entry or both reject the video as
+    over-capacity (ValueError)."""
+    from vidsgg.detector.sgdet import SgdetFrontend
+
+    for max_objs in (4, 8, 12):
+        small = EntryCapacity(max_frames=4, max_objs=max_objs, max_pairs=16)
+        fe = SgdetFrontend(frontend.model, frontend.variables,
+                           frontend.caps, small)
+        assert not fe.eval_full_capacity(F)
+        frames, hw, scale, vsize, nf = _videos()[0]
+        dev = host = None
+        try:
+            dev = fe(frames, jnp.asarray(hw), scale, is_train=False,
+                     video_size=vsize, num_frames=nf)
+        except ValueError:
+            pass
+        try:
+            host = fe(frames, jnp.asarray(hw), scale, is_train=False,
+                      video_size=vsize, num_frames=nf, device_pack=False)
+        except ValueError:
+            pass
+        assert (dev is None) == (host is None), f"max_objs={max_objs}"
+        if dev is None:
+            continue
+        de, dbf = dev
+        he, hbf = host
+        np.testing.assert_allclose(np.asarray(dbf), np.asarray(hbf),
+                                   rtol=2e-5, atol=1e-5)
+        for name in ("boxes", "scores", "distribution", "features",
+                     "obj_mask", "pred_labels"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(de, name)), np.asarray(getattr(he, name)),
+                rtol=2e-5, atol=1e-5, err_msg=f"max_objs={max_objs}: {name}",
+            )
+
+
+def test_compact_pair_source_keeps_fitting_videos(frontend):
+    """pair_detect now applies in the compact regime too: videos whose
+    detections fit the small capacity flow through the paired path, and
+    the paired stream matches the single-video stream."""
+    from vidsgg.cli.data_source import make_sgdet_source
+    from vidsgg.detector.sgdet import SgdetFrontend
+
+    small = EntryCapacity(max_frames=4, max_objs=12, max_pairs=16)
+    fe = SgdetFrontend(frontend.model, frontend.variables,
+                       frontend.caps, small)
+    ds = _FakeDataset(4)
+    cv = ((H, W),)
+    single = make_sgdet_source(ds, small, fe, shuffle=False, canvases=cv,
+                               frame_buckets=(F,))
+    paired = make_sgdet_source(ds, small, fe, shuffle=False, canvases=cv,
+                               frame_buckets=(F,), pair_detect=2)
+    got_s = list(single())
+    got_p = list(paired())
+    assert single.stats.yielded == paired.stats.yielded
+    assert single.stats.skipped == paired.stats.skipped
+    # same surviving videos (match by box content; pairing may reorder)
+    remaining = list(got_s)
+    for e, fm, _ in got_p:
+        j = min(
+            range(len(remaining)),
+            key=lambda k: float(np.abs(
+                np.asarray(remaining[k][0].boxes) - np.asarray(e.boxes)
+            ).sum()),
+        )
+        se = remaining.pop(j)[0]
+        np.testing.assert_allclose(
+            np.asarray(e.boxes), np.asarray(se.boxes), rtol=2e-5, atol=1e-5
+        )

@@ -348,11 +348,7 @@ def make_sgdet_source(
             )
             pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
             pad[:f, :h, :w] = frames
-            pair_ok = pair_detect > 1 and (
-                is_train
-                or entry_cap.max_objs >= fpad * frontend.caps.dets_per_frame
-            )
-            if pair_ok:
+            if pair_detect > 1:
                 buf = pending.setdefault((canvas, fpad), [])
                 buf.append(
                     ((pad, (float(h), float(w)), scale,
@@ -371,15 +367,32 @@ def make_sgdet_source(
                             yield res[0], res[1], a
                     elif pair_grouped:
                         # zero-restack serving path: the batch goes to the
-                        # consumer intact (PairedSgdetEval.run_batched)
-                        e_b, bf_b = frontend.eval_pair_batched(
+                        # consumer intact (PairedSgdetEval.run_batched);
+                        # compact-regime videos over capacity get a None
+                        # ann marker, which run_batched skips
+                        e_b, bf_b, ns = frontend.eval_pair_batched(
                             [b[0] for b in buf]
                         )
-                        stats.yielded += len(buf)
-                        yield PairGroup(e_b, bf_b, [b[1] for b in buf])
+                        if frontend.eval_full_capacity(fpad):
+                            keep = [True] * len(buf)
+                        else:
+                            keep = [
+                                int(x) <= entry_cap.max_objs
+                                for x in np.asarray(ns)
+                            ]
+                        anns = [
+                            b[1] if k else None for b, k in zip(buf, keep)
+                        ]
+                        stats.skipped += keep.count(False)
+                        stats.yielded += keep.count(True)
+                        if any(keep):
+                            yield PairGroup(e_b, bf_b, anns)
                     else:
                         results = frontend.eval_pair([b[0] for b in buf])
                         for res, (_, a) in zip(results, buf):
+                            if res is None:  # over-capacity video in group
+                                stats.skipped += 1
+                                continue
                             stats.yielded += 1
                             yield res[0], res[1], a
                     buf.clear()

@@ -95,7 +95,11 @@ def main(argv=None):
                                  canvases=canvases)
 
     model = TeatGT(cfg.model_config(clips))
-    entry0, _, _ = next(iter(src()))
+    from vidsgg.cli.data_source import PairGroup
+
+    first = next(iter(src()))
+    entry0 = (jax.tree.map(lambda a: a[0], first.entry)
+              if isinstance(first, PairGroup) else first[0])
     state = create_train_state(model, _MemCfg(), entry0, jax.random.PRNGKey(0),
                                make_optimizer(steps_per_epoch=1))
     if ckpt:
@@ -123,8 +127,6 @@ def main(argv=None):
                 tc_s.extend(s)
                 tc_c.extend(c)
         n += 1
-
-    from vidsgg.cli.data_source import PairGroup
 
     for item in src():
         if max_videos is not None and n >= max_videos:

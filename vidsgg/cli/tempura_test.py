@@ -96,7 +96,11 @@ def main(argv=None):
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)
-    entry0, _, _ = next(iter(src()))
+    from vidsgg.cli.data_source import PairGroup
+
+    first = next(iter(src()))
+    entry0 = (jax.tree.map(lambda a: a[0], first.entry)
+              if isinstance(first, PairGroup) else first[0])
     state = create_train_state(
         model, model_cfg, entry0, jax.random.PRNGKey(0),
         make_optimizer(steps_per_epoch=1),
@@ -137,8 +141,6 @@ def main(argv=None):
                 tc_s.extend(s)
                 tc_c.extend(c)
         n += 1
-
-    from vidsgg.cli.data_source import PairGroup
 
     for item in src():
         if max_videos is not None and n >= max_videos:

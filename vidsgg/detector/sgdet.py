@@ -142,10 +142,6 @@ def _pack_test_dets(dets, cap: EntryCapacity, im_scale, video_size,
     latter vmaps it over the video axis).
     """
     f, d = dets["mask"].shape
-    if cap.max_objs < f * d:
-        raise ValueError(
-            f"entry capacity {cap.max_objs} < {f}x{d} detection slots"
-        )
     # frames beyond num_frames are canvas padding (frame-count buckets
     # bound the compile set); their detections are dropped here
     frame_valid = jnp.arange(f) < num_frames
@@ -153,11 +149,16 @@ def _pack_test_dets(dets, cap: EntryCapacity, im_scale, video_size,
     mask_flat = mask.reshape(-1)
     # valid rows first, frame-major slot order preserved (stable)
     order = jnp.argsort(jnp.where(mask_flat, 0, 1), stable=True)
+    # TRUE detection count, uncapped: when capacity < f*d detection slots
+    # (long frame buckets), the pack compacts on device and the caller
+    # checks n <= max_objs — n > max_objs means the video genuinely
+    # exceeds entry capacity (the host path would skip it too)
     n = mask_flat.sum()
-    valid = jnp.arange(cap.max_objs) < n
+    valid = jnp.arange(cap.max_objs) < jnp.minimum(n, cap.max_objs)
+    take = min(cap.max_objs, f * d)
 
     def fit(a):  # [f*d, ...] gathered -> capacity rows, zero-padded
-        a = a[order]
+        a = a[order[:take]]
         return jnp.pad(
             a, ((0, cap.max_objs - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
         )
@@ -389,15 +390,27 @@ class SgdetFrontend:
         detections in padding frames are masked out."""
         if num_frames is None:
             num_frames = frames.shape[0]
-        if not is_train and device_pack \
-                and self.entry_cap.max_objs >= frames.shape[0] * self.caps.dets_per_frame:
-            # whole test frontend on device: no host sync between the
-            # detect jit and the fused relation jit
-            entry, base_feat, _ = self.test_entry_device(
+        if not is_train and device_pack:
+            # whole test frontend on device. Full regime (capacity covers
+            # every detection slot): no host sync between the detect jit
+            # and the fused relation jit. Compact regime (long frame
+            # buckets, capacity < frames*dets_per_frame): the pack keeps
+            # the first max_objs detections on device and ONE scalar fetch
+            # checks the true count — videos that genuinely exceed the
+            # capacity raise like the host path (the source skips them);
+            # everything else stays off the slow host-packing path.
+            entry, base_feat, n = self.test_entry_device(
                 self.variables, frames, im_hw, jnp.asarray(im_scale),
                 jnp.asarray(video_size, jnp.float32),
                 jnp.asarray(num_frames, jnp.int32),
             )
+            full = (self.entry_cap.max_objs
+                    >= frames.shape[0] * self.caps.dets_per_frame)
+            if not full and int(n) > self.entry_cap.max_objs:
+                raise ValueError(
+                    f"sgdet detections ({int(n)}) exceed entry capacity "
+                    f"{self.entry_cap.max_objs}"
+                )
             return entry, base_feat
         dets = self.detect(self.variables, frames, im_hw, jnp.asarray(im_scale))
 
@@ -412,12 +425,15 @@ class SgdetFrontend:
         same-(canvas, frame-bucket) videos.
 
         ``videos``: list of (frames [F,H,W,3], im_hw (h, w), im_scale,
-        video_size (w, h), num_frames). Returns ``(entry, base_feat)``
-        with a leading video axis, everything on device — feed directly
-        into the vmapped fused relation stage (train/pair_eval.py). Keeping
-        the batch intact matters: slicing per video and restacking later
-        costs a chain of eager dispatches that measurably outweighs the
-        vmap win through the tunnel (docs/PERF.md "Paired detect").
+        video_size (w, h), num_frames). Returns ``(entry, base_feat, n)``
+        with a leading video axis, everything on device (``n`` = per-video
+        TRUE detection counts; in the compact regime the caller checks
+        ``n <= max_objs`` — one small batched fetch per group) — feed
+        entry/base_feat directly into the vmapped fused relation stage
+        (train/pair_eval.py). Keeping the batch intact matters: slicing per
+        video and restacking later costs a chain of eager dispatches that
+        measurably outweighs the vmap win through the tunnel (docs/PERF.md
+        "Paired detect").
         """
         # NOTE: never np.asarray the frames here — they may already live on
         # device, and a host round trip of ~100 MB/video through the tunnel
@@ -431,16 +447,32 @@ class SgdetFrontend:
             [np.asarray(v[3], np.float32) for v in videos]
         )
         nframes = jnp.asarray([int(v[4]) for v in videos], jnp.int32)
-        e, bf, _ = self.test_entry_pair(
+        e, bf, n = self.test_entry_pair(
             self.variables, frames, im_hw, scales, vsizes, nframes
         )
-        return e, bf
+        return e, bf, n
+
+    def eval_full_capacity(self, num_padded_frames: int) -> bool:
+        """True when the entry capacity covers every detection slot of an
+        ``num_padded_frames``-frame video — the no-sync regime; otherwise
+        the compact pack applies and counts must be checked."""
+        return (self.entry_cap.max_objs
+                >= num_padded_frames * self.caps.dets_per_frame)
 
     def eval_pair(self, videos):
         """Like :meth:`eval_pair_batched` but sliced back to
-        [(entry, base_feat)] per video for per-video consumers."""
-        e, bf = self.eval_pair_batched(videos)
-        return [(_slice_video(e, i), bf[i]) for i in range(len(videos))]
+        [(entry, base_feat) | None] per video for per-video consumers
+        (None where a compact-regime video exceeds the entry capacity)."""
+        e, bf, n = self.eval_pair_batched(videos)
+        if self.eval_full_capacity(videos[0][0].shape[0]):
+            keep = [True] * len(videos)
+        else:
+            ns = np.asarray(n)  # one small batched fetch for the group
+            keep = [int(x) <= self.entry_cap.max_objs for x in ns]
+        return [
+            (_slice_video(e, i), bf[i]) if keep[i] else None
+            for i in range(len(videos))
+        ]
 
     def train_pair(self, videos, annotations):
         """Paired TRAIN frontend: one detect dispatch AND one small-array

@@ -144,7 +144,9 @@ class PairedSgdetEval:
         it; no per-video slicing dispatches in between).
 
         ``entry_b``/``fmaps_b`` carry a leading video axis matching
-        ``payloads``. GT predicate lists for the temporal-consistency
+        ``payloads``; a ``None`` payload marks a row to skip (the source
+        flags compact-regime videos whose detections exceed the entry
+        capacity this way). GT predicate lists for the temporal-consistency
         bookkeeping come from the batched input entry itself (the detector
         entry carries them, like the single path's ``gt_entry=entry``).
         """
@@ -169,6 +171,8 @@ class PairedSgdetEval:
         ))
         ready = []
         for i, payload in enumerate(payloads):
+            if payload is None:  # over-capacity row flagged by the source
+                continue
             if bool(overflow[i]):  # rare clean_class blow-up -> host path
                 e_i = _slice_video(entry_b, i)
                 ready.append(
