@@ -194,9 +194,17 @@ def test_tempura_sgdet_train_cli(ag_root, tmp_path):
                   ] + _common_flags(ag_root)
     evs_single = tempura_test.main(test_flags)
     evs_paired = tempura_test.main(test_flags + ["--pair_detect", "2"])
-    for ev_s, ev_p in zip(evs_single, evs_paired):
+    # multi-chip serving: the pair group sharded over a 2-device mesh
+    # (virtual CPU devices) must reproduce the same metrics too
+    evs_dp = tempura_test.main(
+        test_flags + ["--pair_detect", "2", "--data_parallel", "2"]
+    )
+    for ev_s, ev_p, ev_d in zip(evs_single, evs_paired, evs_dp):
         for k in ev_s.KS:
             assert np.isfinite(ev_p.recall_at(k))
             np.testing.assert_allclose(
                 ev_p.recall_at(k), ev_s.recall_at(k), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                ev_d.recall_at(k), ev_s.recall_at(k), atol=1e-6
             )

@@ -51,6 +51,17 @@ def main(argv=None):
         # truncation is only well-defined unpaired (see tempura_test)
         print("NOTE: --max_videos disables --pair_detect (exact truncation)")
         cfg.pair_detect = 1
+    # multi-chip serving (see tempura_test): shard pair groups over a mesh
+    serve_mesh = None
+    if (cfg.mode == "sgdet" and cfg.data_parallel > 1
+            and max_videos is None):
+        from vidsgg.runtime.mesh import make_mesh
+
+        serve_mesh = make_mesh(cfg.data_parallel)
+        n = cfg.data_parallel
+        cfg.pair_detect = max(n, -(-cfg.pair_detect // n) * n)
+        print(f">>> serving sharded over {n} devices "
+              f"(group size {cfg.pair_detect})")
     print(f">>> TEAT-GT test: mode={cfg.mode}")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
@@ -84,7 +95,8 @@ def main(argv=None):
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
 
-            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap,
+                                     mesh=serve_mesh)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
                                     max_videos=max_videos, canvases=canvases,
                                     pair_detect=cfg.pair_detect,
@@ -112,7 +124,12 @@ def main(argv=None):
     if cfg.mode == "sgdet" and cfg.pair_detect > 1:
         from vidsgg.train.pair_eval import PairedSgdetEval
 
-        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect)
+        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect,
+                                 mesh=serve_mesh)
+        if serve_mesh is not None:
+            from vidsgg.runtime.mesh import replicate_sharding
+
+            state = jax.device_put(state, replicate_sharding(serve_mesh))
     evs = get_ag_evaluators(cfg.mode)
     tc_s, tc_c = [], []
     t0, n = time.time(), 0

@@ -56,6 +56,20 @@ def main(argv=None):
         # well-defined unpaired
         print("NOTE: --max_videos disables --pair_detect (exact truncation)")
         cfg.pair_detect = 1
+    # multi-chip SERVING: --data_parallel N shards each pair group over an
+    # N-device mesh — the detect jit along the video/frame axis (each chip
+    # detects its own video) and the fused relation stage along the video
+    # axis, params replicated. Group size rounds up to a multiple of N.
+    serve_mesh = None
+    if (cfg.mode == "sgdet" and cfg.data_parallel > 1
+            and max_videos is None):
+        from vidsgg.runtime.mesh import make_mesh
+
+        serve_mesh = make_mesh(cfg.data_parallel)
+        n = cfg.data_parallel
+        cfg.pair_detect = max(n, -(-cfg.pair_detect // n) * n)
+        print(f">>> serving sharded over {n} devices "
+              f"(group size {cfg.pair_detect})")
     print(f">>> TEMPURA test: mode={cfg.mode}")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
@@ -84,7 +98,8 @@ def main(argv=None):
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
 
-            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap)
+            frontend = SgdetFrontend(det, det_vars, SgdetCaps(), cap,
+                                     mesh=serve_mesh)
             src = make_sgdet_source(ds, cap, frontend, shuffle=False,
                                     max_videos=max_videos, canvases=canvases,
                                     pair_detect=cfg.pair_detect,
@@ -123,7 +138,12 @@ def main(argv=None):
     if cfg.mode == "sgdet" and cfg.pair_detect > 1:
         from vidsgg.train.pair_eval import PairedSgdetEval
 
-        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect)
+        paired = PairedSgdetEval(pipeline, group=cfg.pair_detect,
+                                 mesh=serve_mesh)
+        if serve_mesh is not None:
+            from vidsgg.runtime.mesh import replicate_sharding
+
+            state = jax.device_put(state, replicate_sharding(serve_mesh))
     # per-class recall pickles land in output_path (the reference dumps
     # them from print_stats, evaluation_recall.py:79-83)
     evs = get_ag_evaluators(cfg.mode, output_dir=cfg.output_path)

@@ -372,11 +372,23 @@ class SgdetFrontend:
     """Video frames -> relation-stage Entry (train or test)."""
 
     def __init__(self, model: FasterRCNN, variables, caps: SgdetCaps,
-                 entry_cap: EntryCapacity):
+                 entry_cap: EntryCapacity, mesh=None):
         self.model = model
         self.variables = variables
         self.caps = caps
         self.entry_cap = entry_cap
+        # optional device mesh for multi-chip SERVING: eval_pair_batched
+        # shards its group along the video axis (frames along the frame
+        # axis, V*F rows / V videos -> F rows per chip), so each chip
+        # detects its own video(s) and GSPMD partitions the whole
+        # detect+pack jit — no code change in the jitted functions
+        self.mesh = mesh
+        if mesh is not None:
+            from vidsgg.runtime.mesh import replicate_sharding
+
+            self.variables = jax.device_put(
+                variables, replicate_sharding(mesh)
+            )
         self.detect = make_detect_fn(model, caps)
         self.test_entry_device = make_test_entry_fn(model, caps, entry_cap)
         self.test_entry_pair = make_test_entry_pair_fn(model, caps, entry_cap)
@@ -447,6 +459,15 @@ class SgdetFrontend:
             [np.asarray(v[3], np.float32) for v in videos]
         )
         nframes = jnp.asarray([int(v[4]) for v in videos], jnp.int32)
+        if self.mesh is not None and len(videos) % self.mesh.size == 0:
+            from vidsgg.runtime.mesh import data_sharding
+
+            sh = data_sharding(self.mesh)
+            frames = jax.device_put(frames, sh)  # V*F rows, V | mesh.size
+            im_hw, scales, vsizes, nframes = (
+                jax.device_put(x, sh)
+                for x in (im_hw, scales, vsizes, nframes)
+            )
         e, bf, n = self.test_entry_pair(
             self.variables, frames, im_hw, scales, vsizes, nframes
         )

@@ -74,6 +74,11 @@ class PairedSgdetEval:
 
     pipeline: EvalPipeline
     group: int = 2
+    # optional device mesh for multi-chip serving: the vmapped fused stage
+    # runs sharded along the video axis (runtime/parallel.py's
+    # make_parallel_sgdet_eval_step), params replicated — pair the flag
+    # with a mesh-enabled SgdetFrontend so the detect stage shards too
+    mesh: object = None
 
     def __post_init__(self):
         if self.pipeline.mode != "sgdet" or not self.pipeline.device_postprocess:
@@ -82,6 +87,30 @@ class PairedSgdetEval:
                 "device_postprocess=True"
             )
         self._pending: dict[tuple, list] = {}
+        self._stage = None
+        if self.mesh is not None:
+            from vidsgg.runtime.parallel import make_parallel_sgdet_eval_step
+
+            self._stage = make_parallel_sgdet_eval_step(
+                self.mesh, self.pipeline.needs_union,
+                self.pipeline.union_pairs_per_frame,
+            )
+
+    def _fused(self, state, entry_b, fmaps_b):
+        if self._stage is not None:
+            # inputs may arrive pre-committed from the sharded frontend
+            # with XLA-chosen per-leaf layouts (some leaves replicated);
+            # re-place them to match the stage's declared in_shardings
+            # (no copy where the layout already matches)
+            from vidsgg.runtime.mesh import data_sharding
+
+            sh = data_sharding(self.mesh)
+            entry_b, fmaps_b = jax.device_put((entry_b, fmaps_b), sh)
+            return self._stage(state, entry_b, fmaps_b)
+        p = self.pipeline
+        return sgdet_fused_pair_stage(
+            state, entry_b, fmaps_b, p.needs_union, p.union_pairs_per_frame
+        )
 
     def add(self, state, entry, fmaps, gt_entry=None, payload=None):
         buf = self._pending.setdefault(_sig(entry, fmaps), [])
@@ -115,9 +144,7 @@ class PairedSgdetEval:
             fms = [_cast_floating(f, p.compute_dtype) for f in fms]
         batch = _stack_trees(tuple(entries))
         fmb = _stack_trees(tuple(jnp.asarray(f) for f in fms))
-        entry2_b, out_b, overflow = sgdet_fused_pair_stage(
-            state, batch, fmb, p.needs_union, p.union_pairs_per_frame
-        )
+        entry2_b, out_b, overflow = self._fused(state, batch, fmb)
         overflow = np.asarray(overflow)
         # ONE batched transfer for the clean videos (methodology:
         # docs/PERF.md "Batch EVERY host<->device boundary")
@@ -158,9 +185,7 @@ class PairedSgdetEval:
             entry_b = _cast_floating(entry_b, p.compute_dtype)
             fmaps_b = _cast_floating(fmaps_b, p.compute_dtype)
         fmaps_b = jnp.asarray(fmaps_b)
-        entry2_b, out_b, overflow = sgdet_fused_pair_stage(
-            state, entry_b, fmaps_b, p.needs_union, p.union_pairs_per_frame
-        )
+        entry2_b, out_b, overflow = self._fused(state, entry_b, fmaps_b)
         overflow = np.asarray(overflow)
         # two batched transfers total: outputs + the input entry's small GT
         # predicate fields for _attach_gt
