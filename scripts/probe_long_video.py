@@ -54,7 +54,15 @@ def main():
                     .astype(np.float32))
         for s in range(2)
     ]
-    entry, fmaps = frontend(videos[0], im_hw, 1.0, is_train=False)
+    try:
+        entry, fmaps = frontend(videos[0], im_hw, 1.0, is_train=False)
+        frontend(videos[1], im_hw, 1.0, is_train=False)
+    except ValueError as e:
+        # the product path SKIPS over-capacity videos; with random weights
+        # the detection count is workload-dependent, so report and exit
+        # instead of measuring a path the data wouldn't take
+        print(json.dumps({"skipped": str(e)}))
+        return
     state = create_train_state(
         Tempura(cfg), cfg, entry, rng, make_optimizer(steps_per_epoch=1)
     )
@@ -73,8 +81,10 @@ def main():
 
     def e2e_pair():
         e_b, bf_b, n = frontend.eval_pair_batched(pair_args)
-        keep = np.asarray(n) <= cap.max_objs  # the per-group count fetch
-        assert keep.all()
+        # the per-group count fetch the product path pays (over-capacity
+        # videos would be skipped there; here both fixtures fit — checked
+        # by the single-path warmup above)
+        _ = np.asarray(n) <= cap.max_objs
         _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
                                              UNION_PPF)
         return out_b["contacting_distribution"]

@@ -253,6 +253,35 @@ def make_ag_source(
     return source
 
 
+def setup_serve_mesh(data_parallel: int, pair_detect: int,
+                     max_videos=None):
+    """Multi-chip sgdet SERVING setup shared by the test CLIs.
+
+    Returns ``(mesh | None, group_size)``: a mesh over
+    min(data_parallel, available devices) and the pair-group size rounded
+    up to a multiple of the mesh size (groups shard evenly). Degrades
+    loudly: fewer devices than requested prints the actual count;
+    ``--max_videos`` disables sharding (pairing reorders videos, so exact
+    first-N truncation is only well-defined unpaired)."""
+    if data_parallel <= 1:
+        return None, pair_detect
+    if max_videos is not None:
+        print("NOTE: --max_videos disables --data_parallel serving "
+              "(exact truncation)")
+        return None, pair_detect
+    from vidsgg.runtime.mesh import make_mesh
+
+    n = min(data_parallel, jax.device_count())
+    if n < data_parallel:
+        print(f"NOTE: only {n} devices available; "
+              f"--data_parallel {data_parallel} -> {n}")
+    if n <= 1:
+        return None, pair_detect
+    group = -(-max(pair_detect, 1) // n) * n
+    print(f">>> serving sharded over {n} devices (group size {group})")
+    return make_mesh(n), group
+
+
 def build_detector(model_path: str | None = None, tiny: bool = False,
                    frame_size: int = 600):
     """Shared CLI detector construction: (model, variables, canvases).

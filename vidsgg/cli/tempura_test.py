@@ -59,17 +59,17 @@ def main(argv=None):
     # multi-chip SERVING: --data_parallel N shards each pair group over an
     # N-device mesh — the detect jit along the video/frame axis (each chip
     # detects its own video) and the fused relation stage along the video
-    # axis, params replicated. Group size rounds up to a multiple of N.
+    # axis, params replicated.
     serve_mesh = None
-    if (cfg.mode == "sgdet" and cfg.data_parallel > 1
-            and max_videos is None):
-        from vidsgg.runtime.mesh import make_mesh
+    if cfg.mode == "sgdet":
+        from vidsgg.cli.data_source import setup_serve_mesh
 
-        serve_mesh = make_mesh(cfg.data_parallel)
-        n = cfg.data_parallel
-        cfg.pair_detect = max(n, -(-cfg.pair_detect // n) * n)
-        print(f">>> serving sharded over {n} devices "
-              f"(group size {cfg.pair_detect})")
+        serve_mesh, cfg.pair_detect = setup_serve_mesh(
+            cfg.data_parallel, cfg.pair_detect, max_videos
+        )
+    elif cfg.data_parallel > 1:
+        print("NOTE: --data_parallel shards sgdet serving only on the "
+              "test CLI (predcls/sgcls eval is single-device here)")
     print(f">>> TEMPURA test: mode={cfg.mode}")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
@@ -111,11 +111,17 @@ def main(argv=None):
 
     model_cfg = cfg.model_config()
     model = Tempura(model_cfg)
+    import itertools
+
     from vidsgg.cli.data_source import PairGroup
 
-    first = next(iter(src()))
+    # probe the first item for shapes, then chain it back into the stream
+    # so its (possibly whole-group) detector work is consumed, not redone
+    _src_it = iter(src())
+    first = next(_src_it)
     entry0 = (jax.tree.map(lambda a: a[0], first.entry)
               if isinstance(first, PairGroup) else first[0])
+    stream = itertools.chain([first], _src_it)
     state = create_train_state(
         model, model_cfg, entry0, jax.random.PRNGKey(0),
         make_optimizer(steps_per_epoch=1),
@@ -162,7 +168,7 @@ def main(argv=None):
                 tc_c.extend(c)
         n += 1
 
-    for item in src():
+    for item in stream:
         if max_videos is not None and n >= max_videos:
             break
         if isinstance(item, PairGroup):  # batched straight off the detector
