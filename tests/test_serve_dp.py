@@ -118,3 +118,19 @@ def test_paired_eval_on_mesh_matches_single():
                 np.asarray(pred[k]), np.asarray(ref[k]),
                 rtol=1e-4, atol=2e-4, err_msg=f"video {i}: {k}",
             )
+
+
+def test_setup_serve_mesh_clamps_and_rounds():
+    from vidsgg.cli.data_source import setup_serve_mesh
+
+    # disabled cases
+    assert setup_serve_mesh(1, 3) == (None, 3)
+    assert setup_serve_mesh(4, 3, max_videos=10) == (None, 3)
+    # group rounds up to a multiple of the mesh size
+    mesh, group = setup_serve_mesh(2, 3)
+    assert mesh.size == 2 and group == 4
+    mesh, group = setup_serve_mesh(4, 1)
+    assert mesh.size == 4 and group == 4
+    # more devices requested than exist (8 virtual CPU devices): clamps
+    mesh, group = setup_serve_mesh(16, 1)
+    assert mesh.size == 8 and group == 8
