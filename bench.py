@@ -150,11 +150,35 @@ def build():
                                              UNION_PPF)
         return out_b["contacting_distribution"]
 
+    # int8 serving probe (--int8): PTQ detector convs — s8 x s8 -> s32 runs
+    # at 2x the bf16 MXU rate on v5e and halves activation HBM bytes on the
+    # thin-channel stages. Scale VALUES don't affect speed, so the bench
+    # skips the record-mode calibration pass (saves two slow remote
+    # compiles) and fills unit scales; the CLI path calibrates for real
+    # (vidsgg/cli/data_source.py:quantize_detector_int8).
+    det8 = det_model.clone(quant="int8")
+    qshapes = jax.eval_shape(
+        det_model.clone(quant="record").init, rng, chunk0[:1], im_hw
+    )
+    vars8 = dict(det_vars)
+    vars8["quant"] = jax.tree.map(
+        lambda s: jnp.ones(s.shape, s.dtype), qshapes["quant"]
+    )
+    frontend8 = SgdetFrontend(
+        det8, vars8, SgdetCaps(dets_per_frame=DETS_PER_FRAME), cap
+    )
+
+    def e2e_pair_int8():
+        e_b, bf_b, _ = frontend8.eval_pair_batched(pair_args)
+        _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
+                                             UNION_PPF)
+        return out_b["contacting_distribution"]
+
     flops_detect = _flops(frontend.detect, det_vars, video, im_hw, jnp.asarray(1.0))
     flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True, UNION_PPF)
 
     return (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
-            relation_pair2, sync, flops_detect + flops_rel)
+            relation_pair2, e2e_pair_int8, sync, flops_detect + flops_rel)
 
 
 def _time_window(fn, sync, iters):
@@ -169,7 +193,7 @@ def _time_window(fn, sync, iters):
 
 def main():
     (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
-     relation_pair2, sync, flops_video) = build()
+     relation_pair2, e2e_pair_int8, sync, flops_video) = build()
 
     dt_detect = _time_window(detect_only, sync, 10)
     dt_rel = _time_window(relation_only, sync, 10)
@@ -177,6 +201,14 @@ def main():
     dt_detect_b2 = _time_window(detect_batch2, sync, 5) / 2  # per video
     dt_e2e = _time_window(e2e_video, sync, 6)
     dt_e2e_pair = _time_window(e2e_pair, sync, 5) / 2        # per video
+    try:
+        dt_e2e_int8 = _time_window(e2e_pair_int8, sync, 5) / 2  # per video
+    except Exception as exc:  # the int8 probe must never cost the headline
+        import sys
+
+        print(f"int8 probe failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        dt_e2e_int8 = None
 
     fps_e2e = FRAMES / dt_e2e
     fps_pair = FRAMES / dt_e2e_pair
@@ -197,6 +229,12 @@ def main():
                 "vs_baseline": round(fps_best / BASELINE_FPS_ESTIMATE, 2),
                 "e2e_fps_single": round(fps_e2e, 2),
                 "e2e_fps_pair_detect2": round(fps_pair, 2),
+                # --int8 serving (PTQ detector); reported alongside, not as
+                # the headline: quantization changes numerics and the
+                # accuracy gate needs the real AG checkpoint to score
+                "e2e_fps_pair_int8": (
+                    round(FRAMES / dt_e2e_int8, 2) if dt_e2e_int8 else None
+                ),
                 "device_only_fps": round(fps_device, 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),
                 "detect_ms_per_video_batch2": round(dt_detect_b2 * 1e3, 1),

@@ -41,3 +41,21 @@ def test_kcc_demo_paired_matches_single(kcc_root, tmp_path):
         paired = json.load(f)
     assert set(single) == {"vidA", "vidB", "vidC"}
     assert paired == single
+
+
+def test_kcc_demo_int8_serving(kcc_root, tmp_path):
+    """--int8 drives calibrate -> quantized detector through the full demo
+    surface: the run completes and emits well-formed per-video JSON (exact
+    triplet equality with f32 is not required — detection top-k under
+    quantization noise is legitimately unstable with random weights)."""
+    from vidsgg.cli import kcc_demo
+
+    out = str(tmp_path / "int8.json")
+    kcc_demo.main(["--data_path", kcc_root, "--tiny_detector",
+                   "--frame_size", "48", "--max_frames", "8",
+                   "--int8", "--int8_calib", "2", "--out", out])
+    with open(out) as f:
+        preds = json.load(f)
+    assert set(preds) == {"vidA", "vidB", "vidC"}
+    assert all(isinstance(v, dict) for v in preds.values())
+    assert any(preds.values())  # the quantized path still detects/relates

@@ -316,6 +316,64 @@ def build_detector(model_path: str | None = None, tiny: bool = False,
     return det, det_vars, canvases
 
 
+def quantize_detector_int8(det, det_vars, dataset, canvases,
+                           num_videos: int = 2,
+                           frame_buckets: tuple = (8, 16, 32, 64),
+                           target_min_side: int | None = None,
+                           max_frames: int | None = None):
+    """Post-training int8 quantization of the serving detector.
+
+    Records abs-max activation scales over the first ``num_videos`` dataset
+    videos (``quant="record"`` forward passes at the same (canvas, bucket)
+    shapes serving uses, so the record compiles are shared shapes), then
+    returns the ``quant="int8"`` model + calibrated variables.
+    ``target_min_side`` / ``max_frames`` must mirror the serving loader's
+    settings (per-call on KCC, baked into the AG dataset constructor) so
+    calibration compiles land on the serving (canvas, bucket) grid and
+    the recorded scales see serving-scale pixels. v5e runs
+    s8 x s8 -> s32 at 2x the bf16 MXU rate and int8 activations halve the
+    HBM bytes of the thin-channel ResNet stages that bound the detect jit
+    (vidsgg/detector/quant.py, docs/PERF.md).
+    """
+    from vidsgg.detector.quant import calibrate
+
+    rec = det.clone(quant="record")
+    if "quant" not in det_vars:
+        # synthesize the zero-initialized scale collection without running
+        # the model (eval_shape is abstract — no compile, no compute)
+        shapes = jax.eval_shape(
+            rec.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.array([64.0, 64.0]),
+        )
+        det_vars = dict(det_vars)
+        det_vars["quant"] = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes["quant"]
+        )
+
+    inputs = []
+    for i in range(min(num_videos, len(dataset))):
+        # ActionGenome yields (frames, scale); KCC (frames, scale, name)
+        if target_min_side is not None:
+            frames = dataset.load_video_frames(
+                i, target_min_side=target_min_side
+            )[0]
+        else:
+            frames = dataset.load_video_frames(i)[0]
+        if max_frames is not None:
+            frames = frames[:max_frames]
+        f, h, w, _ = frames.shape
+        canvas = pick_canvas(h, w, canvases)
+        if canvas is None:
+            canvas = (-(-h // 16) * 16, -(-w // 16) * 16)
+        fpad = next((b for b in frame_buckets if f <= b), f)
+        pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
+        pad[:f, :h, :w] = frames
+        inputs.append((jnp.asarray(pad), jnp.array([float(h), float(w)])))
+    print(f">>> int8 serving: calibrated on {len(inputs)} videos")
+    det_vars = calibrate(rec, det_vars, inputs)
+    return det.clone(quant="int8"), det_vars
+
+
 def make_sgdet_source(
     dataset,
     entry_cap: EntryCapacity,

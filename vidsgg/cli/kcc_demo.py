@@ -46,6 +46,10 @@ def main(argv=None):
     # rehearsal hooks (shrunk detector + small frames; same code path)
     p.add_argument("--tiny_detector", action="store_true")
     p.add_argument("--frame_size", type=int, default=600)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the detector convs in int8 (PTQ calibrated "
+                        "on the first --int8_calib demo videos)")
+    p.add_argument("--int8_calib", type=int, default=2)
     args = p.parse_args(argv)
 
     ds = KCCDataset(args.data_path)
@@ -76,6 +80,14 @@ def main(argv=None):
                 jnp.array([608.0, 1008.0]),
             )
             print("WARNING: random detector weights (no --detector given)")
+
+    if args.int8:
+        from vidsgg.cli.data_source import quantize_detector_int8
+
+        det, det_vars = quantize_detector_int8(
+            det, det_vars, ds, canvases, num_videos=args.int8_calib,
+            target_min_side=args.frame_size, max_frames=args.max_frames,
+        )
 
     cap = EntryCapacity(max_frames=args.max_frames, max_objs=128, max_pairs=128)
     frontend = SgdetFrontend(det, det_vars, SgdetCaps(dets_per_frame=10), cap)

@@ -92,6 +92,12 @@ def main(argv=None):
             getattr(cfg, "model_path", None), tiny=cfg.tiny_detector,
             frame_size=cfg.frame_size,
         )
+        if cfg.int8:
+            from vidsgg.cli.data_source import quantize_detector_int8
+
+            det, det_vars = quantize_detector_int8(
+                det, det_vars, ds, canvases, num_videos=cfg.int8_calib
+            )
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
 

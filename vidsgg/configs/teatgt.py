@@ -57,6 +57,9 @@ class TeatGTRunConfig:
     bucket_frames: int = 64
     # sgdet eval: videos per detect dispatch (see configs/tempura.py)
     pair_detect: int = 1
+    # serving-only int8 PTQ of the detector (see configs/tempura.py)
+    int8: bool = False
+    int8_calib: int = 2
 
     def __post_init__(self):
         if self.mode != "predcls":  # teatgt_config.py:11-14
@@ -109,6 +112,8 @@ class TeatGTRunConfig:
         p.add_argument("--tiny_detector", action="store_true")
         p.add_argument("--bucket_frames", type=int, default=64)
         p.add_argument("--pair_detect", type=int, default=1)
+        p.add_argument("--int8", action="store_true")
+        p.add_argument("--int8_calib", type=int, default=2)
         return cls(**vars(p.parse_args(argv)))
 
     def model_config(self, caps: ClipCaps | None = None) -> TeatGTConfig:

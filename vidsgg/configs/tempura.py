@@ -70,6 +70,11 @@ class TempuraRunConfig:
     # sgdet eval: videos per detect dispatch (same-canvas pairing amortizes
     # the thin-channel ResNet stages; docs/PERF.md). 1 = single-video.
     pair_detect: int = 1
+    # serving-only int8 PTQ of the detector convs (v5e: 2x MXU rate, half
+    # the activation HBM bytes), calibrated on the first int8_calib videos
+    # (vidsgg/detector/quant.py)
+    int8: bool = False
+    int8_calib: int = 2
 
     def __post_init__(self):
         # mode-conditional mutation (tempura_config.py:25-28)
@@ -134,6 +139,8 @@ class TempuraRunConfig:
         p.add_argument("--tiny_detector", action="store_true")
         p.add_argument("--bucket_frames", type=int, default=64)
         p.add_argument("--pair_detect", type=int, default=1)
+        p.add_argument("--int8", action="store_true")
+        p.add_argument("--int8_calib", type=int, default=2)
         args = vars(p.parse_args(argv))
         args["mem_feat_lambda"] = float(args["mem_feat_lambda"])
         return cls(**args)

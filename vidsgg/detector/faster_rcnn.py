@@ -32,10 +32,15 @@ class FasterRCNN(nn.Module):
     base_blocks: tuple = (3, 4, 23)   # ResNet-101; tests shrink this
     head_blocks: int = 3
     dtype: object = jnp.float32       # set bf16 for inference throughput
+    # int8 post-training-quantized backbone/head convs for serving
+    # ("off" | "record" | "int8" — see vidsgg/detector/quant.py)
+    quant: str = "off"
 
     def setup(self):
-        self.base = ResNet101Base(blocks=self.base_blocks, dtype=self.dtype)
-        self.head = ResNetHead(blocks=self.head_blocks, dtype=self.dtype)
+        self.base = ResNet101Base(blocks=self.base_blocks, dtype=self.dtype,
+                                  quant=self.quant)
+        self.head = ResNetHead(blocks=self.head_blocks, dtype=self.dtype,
+                               quant=self.quant)
         na = len(self.rpn_cfg.anchor_scales) * len(self.rpn_cfg.anchor_ratios)
         self.rpn = RPN(num_anchors=na)
         self.cls_score = nn.Dense(self.num_classes)

@@ -14,6 +14,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vidsgg.detector.quant import conv_ctor
+
 
 class FrozenBatchNorm(nn.Module):
     """Inference-only BN: y = (x - mean) / sqrt(var + eps) * scale + bias.
@@ -41,35 +43,35 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: object = jnp.float32  # bf16 compute halves HBM traffic, 2x MXU
+    quant: str = "off"           # "off" | "record" | "int8" (detector/quant.py)
 
     @nn.compact
     def __call__(self, x):
+        conv = conv_ctor(self.quant, self.dtype)
         identity = x
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = conv(self.planes, (1, 1), name="conv1")(x)
         h = FrozenBatchNorm(name="bn1")(h).astype(self.dtype)
         h = nn.relu(h)
-        h = nn.Conv(
-            self.planes, (3, 3), strides=self.stride, padding=1,
-            use_bias=False, dtype=self.dtype, name="conv2",
-        )(h)
+        h = conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                 name="conv2")(h)
         h = FrozenBatchNorm(name="bn2")(h).astype(self.dtype)
         h = nn.relu(h)
-        h = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
+        h = conv(self.planes * 4, (1, 1), name="conv3")(h)
         h = FrozenBatchNorm(name="bn3")(h)
         if self.downsample:
-            identity = nn.Conv(
-                self.planes * 4, (1, 1), strides=self.stride,
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
-            )(x)
+            identity = conv(self.planes * 4, (1, 1), strides=self.stride,
+                            name="downsample_conv")(x)
             identity = FrozenBatchNorm(name="downsample_bn")(identity)
         return nn.relu(h + identity).astype(self.dtype)
 
 
-def _layer(x, planes, blocks, stride, name_prefix, dtype=jnp.float32):
+def _layer(x, planes, blocks, stride, name_prefix, dtype=jnp.float32,
+           quant="off"):
     x = Bottleneck(planes, stride=stride, downsample=True, dtype=dtype,
-                   name=f"{name_prefix}_0")(x)
+                   quant=quant, name=f"{name_prefix}_0")(x)
     for i in range(1, blocks):
-        x = Bottleneck(planes, dtype=dtype, name=f"{name_prefix}_{i}")(x)
+        x = Bottleneck(planes, dtype=dtype, quant=quant,
+                       name=f"{name_prefix}_{i}")(x)
     return x
 
 
@@ -81,17 +83,19 @@ class ResNet101Base(nn.Module):
 
     blocks: tuple = (3, 4, 23)
     dtype: object = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x.astype(self.dtype))
+        h = conv_ctor(self.quant, self.dtype)(
+            64, (7, 7), strides=2, padding=3, name="conv1"
+        )(x.astype(self.dtype))
         h = FrozenBatchNorm(name="bn1")(h).astype(self.dtype)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        h = _layer(h, 64, self.blocks[0], 1, "layer1", self.dtype)
-        h = _layer(h, 128, self.blocks[1], 2, "layer2", self.dtype)
-        h = _layer(h, 256, self.blocks[2], 2, "layer3", self.dtype)
+        h = _layer(h, 64, self.blocks[0], 1, "layer1", self.dtype, self.quant)
+        h = _layer(h, 128, self.blocks[1], 2, "layer2", self.dtype, self.quant)
+        h = _layer(h, 256, self.blocks[2], 2, "layer3", self.dtype, self.quant)
         return h.astype(jnp.float32)
 
 
@@ -101,8 +105,10 @@ class ResNetHead(nn.Module):
 
     blocks: int = 3
     dtype: object = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, pooled):
-        h = _layer(pooled, 512, self.blocks, 2, "layer4", self.dtype)
+        h = _layer(pooled, 512, self.blocks, 2, "layer4", self.dtype,
+                   self.quant)
         return h.mean(axis=(1, 2)).astype(jnp.float32)
