@@ -110,6 +110,32 @@ def main():
     sync(res[-1][0].features)
     dt_frontend_quad = (time.perf_counter() - t0) / 3 / 4  # per video
 
+    # int8 train frontend (--int8 on the train CLIs): the detector is
+    # frozen during relation training, so PTQ detect drives the train path
+    # too. Scale VALUES don't affect speed — fill unit scales and skip the
+    # calibration compiles, like bench.py's serving probe.
+    det8 = det.clone(quant="int8")
+    qshapes = jax.eval_shape(
+        det.clone(quant="record").init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)), jnp.array([64.0, 64.0]),
+    )
+    vars8 = dict(det_vars)
+    vars8["quant"] = jax.tree.map(
+        lambda s: jnp.ones(s.shape, s.dtype), qshapes["quant"]
+    )
+    frontend8 = SgdetFrontend(det8, vars8, SgdetCaps(dets_per_frame=8), cap)
+
+    def frontend8_pair_once():
+        return frontend8.train_pair(pair_vids, [ann, ann_b])
+
+    res = frontend8_pair_once()
+    sync(res[-1][0].features)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        res = frontend8_pair_once()
+    sync(res[-1][0].features)
+    dt_frontend8_pair = (time.perf_counter() - t0) / 5 / 2  # per video
+
     cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
     model = Tempura(cfg)
     state = create_train_state(
@@ -130,6 +156,9 @@ def main():
         "train_frontend_ms_per_video": round(dt_frontend * 1e3, 1),
         "train_frontend_pair2_ms_per_video": round(dt_frontend_pair * 1e3, 1),
         "train_frontend_pair4_ms_per_video": round(dt_frontend_quad * 1e3, 1),
+        "train_frontend_int8_pair2_ms_per_video": round(
+            dt_frontend8_pair * 1e3, 1
+        ),
         "relation_train_step_ms_per_video": round(dt_step * 1e3, 1),
         "sgdet_train_fps": round(FRAMES / (dt_frontend + dt_step), 1),
         "sgdet_train_fps_pair2": round(
@@ -137,6 +166,9 @@ def main():
         ),
         "sgdet_train_fps_pair4": round(
             FRAMES / (dt_frontend_quad + dt_step), 1
+        ),
+        "sgdet_train_fps_int8_pair2": round(
+            FRAMES / (dt_frontend8_pair + dt_step), 1
         ),
     }))
 

@@ -208,3 +208,31 @@ def test_tempura_sgdet_train_cli(ag_root, tmp_path):
             np.testing.assert_allclose(
                 ev_d.recall_at(k), ev_s.recall_at(k), atol=1e-6
             )
+
+
+def test_tempura_sgdet_int8_train_and_test_cli(ag_root, tmp_path):
+    """--int8 on BOTH CLIs: the detector is frozen during relation training
+    (object_detector.py:85-94 keeps Faster R-CNN in eval mode with no
+    grads), so the quantized detect path drives sgdet training as well as
+    serving. Calibration -> quantized train -> checkpoint -> quantized test
+    runs as one program (metric equality with f32 is not asserted —
+    quantization legitimately perturbs detection top-k under tiny random
+    weights)."""
+    from vidsgg.cli import tempura_test, tempura_train
+
+    ckpt = str(tmp_path / "ckpt_sgdet8")
+    flags = _common_flags(ag_root) + ["--int8", "--int8_calib", "1"]
+    tempura_train.main(
+        ["--mode", "sgdet", "--nepoch", "1", "-log_iter", "2",
+         "--save_path", ckpt] + flags
+    )
+    assert os.path.isdir(os.path.join(ckpt, "checkpoint_0"))
+    assert os.path.getsize(os.path.join(ckpt, "log_train.txt")) > 0
+
+    evs = tempura_test.main(
+        ["--mode", "sgdet", "--ckpt", ckpt, "--ckpt_name", "checkpoint_0",
+         "--output_path", str(tmp_path / "out_sgdet8")] + flags
+    )
+    for ev in evs:
+        for k in ev.KS:
+            assert np.isfinite(ev.recall_at(k))

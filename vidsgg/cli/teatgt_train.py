@@ -74,6 +74,15 @@ def main(argv=None):
             getattr(cfg, "model_path", None), tiny=cfg.tiny_detector,
             frame_size=cfg.frame_size,
         )
+        if cfg.int8:
+            # frozen detector -> int8 is sound on the train path too (see
+            # cli/tempura_train.py); calibrated on the train split
+            from vidsgg.cli.data_source import quantize_detector_int8
+
+            det, det_vars = quantize_detector_int8(
+                det, det_vars, train_ds, canvases,
+                num_videos=cfg.int8_calib, max_frames=cap.max_frames,
+            )
         if cfg.mode == "sgdet":
             # detector boxes + GT assignment + SUPPLY for training (the
             # reference trains sgdet through the detector front-end,

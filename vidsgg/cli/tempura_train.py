@@ -68,6 +68,18 @@ def main(argv=None):
         det, det_vars, canvases = build_detector(
             cfg.model_path, tiny=cfg.tiny_detector, frame_size=cfg.frame_size
         )
+        if cfg.int8:
+            # the detector is frozen during relation training (the reference
+            # keeps Faster R-CNN in eval mode with no grads,
+            # object_detector.py:85-94), so int8 detect/featurize is sound
+            # on the train path too; calibration uses the train split
+            # (target_min_side is baked into the ActionGenome constructor)
+            from vidsgg.cli.data_source import quantize_detector_int8
+
+            det, det_vars = quantize_detector_int8(
+                det, det_vars, train_ds, canvases,
+                num_videos=cfg.int8_calib, max_frames=cap.max_frames,
+            )
         if cfg.mode == "sgdet":
             # full-detection training: detector boxes + IoU GT assignment +
             # SUPPLY (object_detector.py:57-302, consumed at
