@@ -97,6 +97,30 @@ def test_paired_groups_by_shape():
     assert sorted(p for _, p in out) == ["a", "b"]
 
 
+def test_pending_bound_drains_stragglers():
+    """Straggler videos across many shape signatures must not pin their
+    base-feature maps in device memory until the end-of-run flush: past
+    ``max_pending`` buffered videos, the oldest other signature drains
+    through the single-video pipeline (bit-identical to flush)."""
+    state = None
+    pipeline = EvalPipeline("sgdet", CAP)
+    paired = PairedSgdetEval(pipeline, group=2, max_pending=3)
+
+    outs = []
+    hws = [(12, 20), (10, 16), (8, 12), (14, 24), (6, 8)]
+    for i, hw in enumerate(hws):
+        _, e, _ = _sgdet_entry(3)
+        if state is None:
+            state = _state(e)
+        f = jnp.array(synthetic_base_fmaps(CAP.max_frames, hw=hw, seed=i))
+        outs.extend(paired.add(state, e, f, gt_entry=e, payload=i))
+        assert sum(len(b) for b in paired._pending.values()) <= 3
+    # adds 4 and 5 pushed the buffer past the bound -> oldest two drained
+    assert [p for _, p in outs] == [0, 1]
+    outs.extend(paired.flush(state))
+    assert sorted(p for _, p in outs) == [0, 1, 2, 3, 4]
+
+
 def test_requires_sgdet_device_postprocess():
     import pytest
 

@@ -167,3 +167,33 @@ def test_generic_parallel_step_matches_sequential():
         jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(), params, p2)
     )
     assert max(flat) > 0
+
+
+def test_tree_shape_sig_groups_by_shape_and_dtype():
+    """The shared grouping key (runtime/parallel.py): same shapes+dtypes
+    share a signature; a dtype-only difference must NOT group (stacking
+    would silently upcast or crash), and extra trees fold into the key."""
+    from vidsgg.runtime.parallel import tree_shape_sig
+
+    a = {"x": jnp.zeros((3, 4)), "y": jnp.zeros((2,), jnp.int32)}
+    b = {"x": jnp.zeros((3, 4)), "y": jnp.zeros((2,), jnp.int32)}
+    c = {"x": jnp.zeros((3, 4)), "y": jnp.zeros((2,), jnp.float32)}
+    assert tree_shape_sig(a) == tree_shape_sig(b)
+    assert tree_shape_sig(a) != tree_shape_sig(c)
+    f1, f2 = jnp.zeros((4, 8, 8, 7)), jnp.zeros((4, 6, 10, 7))
+    assert tree_shape_sig(a, f1) == tree_shape_sig(b, f1)
+    assert tree_shape_sig(a, f1) != tree_shape_sig(a, f2)
+
+
+def test_stack_entries_one_dispatch_tree():
+    """stack_entries stacks every leaf on a new leading axis inside ONE
+    jitted dispatch (per-leaf eager stacks each pay a tunnel round trip)."""
+    from vidsgg.runtime.parallel import stack_entries
+
+    trees = [
+        {"x": jnp.full((2, 3), i, jnp.float32), "y": jnp.full((4,), i)}
+        for i in range(3)
+    ]
+    out = stack_entries(trees)
+    assert out["x"].shape == (3, 2, 3) and out["y"].shape == (3, 4)
+    np.testing.assert_array_equal(np.asarray(out["x"])[2], 2.0)

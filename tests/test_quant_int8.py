@@ -141,6 +141,98 @@ def test_calibrated_int8_backbone_tracks_f32():
     assert float(jnp.abs(base8).max()) > 0
 
 
+def test_quantize_calibration_stays_on_serving_grid(monkeypatch):
+    """Calibration compiles must land on the serving (canvas, bucket) grid:
+    with ``max_frames`` given, over-long videos truncate to the largest
+    serving frame bucket instead of compiling a one-off shape (the record
+    passes would otherwise pay a throwaway multi-minute remote compile, or
+    OOM padding a 100+-frame video)."""
+    from vidsgg.cli.data_source import build_detector, quantize_detector_int8
+    from vidsgg.data import synthetic_video_annotation
+
+    class _LongVideoDataset:
+        gt_annotations = [
+            synthetic_video_annotation(num_frames=40, objs_per_frame=2,
+                                       seed=0, image_wh=(64, 48))
+        ]
+
+        def __len__(self):
+            return 1
+
+        def load_video_frames(self, i):
+            return np.zeros((40, 48, 64, 3), np.float32), 1.0
+
+    captured = {}
+
+    def fake_calibrate(rec, vars_, inputs):
+        captured["shapes"] = [tuple(np.shape(a)) for a, _ in inputs]
+        return vars_
+
+    monkeypatch.setattr("vidsgg.detector.quant.calibrate", fake_calibrate)
+    det, det_vars, canvases = build_detector(None, tiny=True, frame_size=48)
+    quantize_detector_int8(
+        det, det_vars, _LongVideoDataset(), canvases, num_videos=1,
+        max_frames=16,
+    )
+    f = captured["shapes"][0][0]
+    assert f == 16, captured["shapes"]
+
+
+def test_int8_detector_feeds_gt_featurize_source():
+    """--int8 on the TRAIN CLIs also covers predcls/sgcls: the quantized
+    detector's base_features/head_to_tail methods feed make_ag_source's GT
+    featurization (cli/tempura_train.py applies quantize_detector_int8
+    before the mode branch). Entries must stay finite and track the f32
+    source within the quantization error budget."""
+    from vidsgg.cli.data_source import (
+        build_detector,
+        default_buckets,
+        make_ag_source,
+        quantize_detector_int8,
+    )
+    from vidsgg.data import synthetic_video_annotation
+
+    class _RandFrameDataset:
+        def __init__(self, frame_counts):
+            self.gt_annotations = [
+                synthetic_video_annotation(
+                    num_frames=f, objs_per_frame=2, seed=i, image_wh=(64, 48)
+                )
+                for i, f in enumerate(frame_counts)
+            ]
+
+        def __len__(self):
+            return len(self.gt_annotations)
+
+        def load_video_frames(self, i):
+            f = len(self.gt_annotations[i])
+            frames = np.random.RandomState(i).rand(f, 48, 64, 3)
+            return (frames * 120.0 - 60.0).astype(np.float32), 1.0
+
+    ds = _RandFrameDataset([4, 6])
+    det, det_vars, canvases = build_detector(None, tiny=True, frame_size=48)
+    det8, vars8 = quantize_detector_int8(
+        det, det_vars, ds, canvases, num_videos=1, max_frames=16
+    )
+    buckets = default_buckets(max_frames=16)
+
+    def pull(model, variables):
+        src = make_ag_source(ds, buckets[-1], model, variables,
+                             shuffle=False, buckets=buckets,
+                             canvases=canvases)
+        return list(src())
+
+    got8, gotf = pull(det8, vars8), pull(det, det_vars)
+    assert len(got8) == len(gotf) == 2
+    for (e8, _, _), (ef, _, _) in zip(got8, gotf):
+        n = int(np.asarray(e8.obj_mask).sum())
+        f8 = np.asarray(e8.features)[:n]
+        ff = np.asarray(ef.features)[:n]
+        assert np.isfinite(f8).all()
+        rms = float(np.sqrt(np.mean((f8 - ff) ** 2)))
+        assert rms < 0.05 * (float(np.abs(ff).max()) + 1e-6), rms
+
+
 def test_sgdet_frontend_runs_int8():
     from vidsgg.data.entry import EntryCapacity
     from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend

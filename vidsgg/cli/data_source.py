@@ -361,11 +361,23 @@ def quantize_detector_int8(det, det_vars, dataset, canvases,
             frames = dataset.load_video_frames(i)[0]
         if max_frames is not None:
             frames = frames[:max_frames]
+            # serving's frame buckets are capped by the entry capacity too
+            # (make_sgdet_source picks fpad from buckets <= max_frames), so
+            # calibration compiles must land on the same filtered grid
+            buckets_eff = tuple(
+                b for b in frame_buckets if b <= max_frames
+            ) or (max_frames,)
+        else:
+            buckets_eff = frame_buckets
+        # never compile a one-off shape for an over-long calibration video:
+        # scale calibration doesn't need more frames than the largest
+        # serving bucket — truncate instead
+        frames = frames[: buckets_eff[-1]]
         f, h, w, _ = frames.shape
         canvas = pick_canvas(h, w, canvases)
         if canvas is None:
             canvas = (-(-h // 16) * 16, -(-w // 16) * 16)
-        fpad = next((b for b in frame_buckets if f <= b), f)
+        fpad = next((b for b in buckets_eff if f <= b), buckets_eff[-1])
         pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
         pad[:f, :h, :w] = frames
         inputs.append((jnp.asarray(pad), jnp.array([float(h), float(w)])))
@@ -460,13 +472,7 @@ def make_sgdet_source(
                         e_b, bf_b, ns = frontend.eval_pair_batched(
                             [b[0] for b in buf]
                         )
-                        if frontend.eval_full_capacity(fpad):
-                            keep = [True] * len(buf)
-                        else:
-                            keep = [
-                                int(x) <= entry_cap.max_objs
-                                for x in np.asarray(ns)
-                            ]
+                        keep = frontend.eval_keep_mask(ns, fpad, len(buf))
                         anns = [
                             b[1] if k else None for b, k in zip(buf, keep)
                         ]

@@ -99,7 +99,8 @@ def main(argv=None):
             from vidsgg.cli.data_source import quantize_detector_int8
 
             det, det_vars = quantize_detector_int8(
-                det, det_vars, ds, canvases, num_videos=cfg.int8_calib
+                det, det_vars, ds, canvases, num_videos=cfg.int8_calib,
+                max_frames=cap.max_frames,
             )
         if cfg.mode == "sgdet":
             from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend

@@ -180,7 +180,7 @@ def main(argv=None):
     if data_parallel > 1:
         from vidsgg.runtime.mesh import make_mesh, replicate_sharding
         from vidsgg.runtime.parallel import (
-            make_generic_parallel_train_step, stack_entries,
+            make_generic_parallel_train_step, stack_entries, tree_shape_sig,
         )
 
         mesh = make_mesh(data_parallel)
@@ -197,7 +197,7 @@ def main(argv=None):
             for e in chunks:
                 rng, sub = jax.random.split(rng)
                 if par_step is not None:
-                    sig = tuple(tuple(x.shape) for x in jax.tree.leaves(e))
+                    sig = tree_shape_sig(e)
                     group = pending.setdefault(sig, [])
                     group.append(e)
                     if len(group) < data_parallel:

@@ -480,16 +480,24 @@ class SgdetFrontend:
         return (self.entry_cap.max_objs
                 >= num_padded_frames * self.caps.dets_per_frame)
 
+    def eval_keep_mask(self, n, num_padded_frames: int,
+                       n_videos: int) -> list:
+        """Per-video keep flags for a paired eval group: all kept in the
+        full-capacity regime (no sync); in the compact regime ONE small
+        batched fetch of the true detection counts checks the entry
+        capacity. The single policy site — the paired source and
+        :meth:`eval_pair` must agree on which videos survive."""
+        if self.eval_full_capacity(num_padded_frames):
+            return [True] * n_videos
+        ns = np.asarray(n)  # one small batched fetch for the group
+        return [int(x) <= self.entry_cap.max_objs for x in ns]
+
     def eval_pair(self, videos):
         """Like :meth:`eval_pair_batched` but sliced back to
         [(entry, base_feat) | None] per video for per-video consumers
         (None where a compact-regime video exceeds the entry capacity)."""
         e, bf, n = self.eval_pair_batched(videos)
-        if self.eval_full_capacity(videos[0][0].shape[0]):
-            keep = [True] * len(videos)
-        else:
-            ns = np.asarray(n)  # one small batched fetch for the group
-            keep = [int(x) <= self.entry_cap.max_objs for x in ns]
+        keep = self.eval_keep_mask(n, videos[0][0].shape[0], len(videos))
         return [
             (_slice_video(e, i), bf[i]) if keep[i] else None
             for i in range(len(videos))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from vidsgg.data.entry import Entry
@@ -24,9 +25,31 @@ from vidsgg.train.state import TrainState
 from vidsgg.train.steps import LossFlags, assemble_losses, performer_rng
 
 
+@jax.jit
+def _stack_trees(trees):
+    """ONE dispatch stacking a tuple of same-structure pytrees on a new
+    leading axis. Eager per-leaf ``jnp.stack`` pays ~a dispatch per leaf
+    (~20 for an Entry, each a ~28 ms round trip through the axon tunnel —
+    docs/PERF.md "Batch EVERY host<->device boundary")."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
 def stack_entries(entries: list[Entry]) -> Entry:
-    """Stack same-capacity entries into a batched Entry pytree."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *entries)
+    """Stack same-capacity entries into a batched Entry pytree (one
+    dispatch; one compile per (group size, bucket) combination)."""
+    return _stack_trees(tuple(entries))
+
+
+def tree_shape_sig(*trees) -> tuple:
+    """Shape/dtype grouping key: pytrees may stack into one batch only when
+    every leaf agrees on BOTH shape and dtype (``_stack_trees``'s contract).
+    The single helper keeps the group-by-shape consumers — the dp train
+    loop, paired sgdet serving, and the VidVRD chunk batcher — consistent."""
+    return tuple(
+        (tuple(np.shape(x)), str(getattr(x, "dtype", "")))
+        for t in trees
+        for x in jax.tree.leaves(t)
+    )
 
 
 def make_parallel_train_step(flags: LossFlags, mesh):

@@ -62,9 +62,9 @@ accumulate_memory_batch_jit = jax.jit(
 def _entry_sig(entry) -> tuple:
     """Shape/dtype signature — entries from the same capacity bucket share
     one signature and can stack into one data-parallel batch."""
-    return tuple(
-        (tuple(x.shape), str(getattr(x, "dtype", ""))) for x in jax.tree.leaves(entry)
-    )
+    from vidsgg.runtime.parallel import tree_shape_sig
+
+    return tree_shape_sig(entry)
 
 
 class MetricWindow(list):
@@ -282,6 +282,20 @@ def run_training(
                 group = val_pending.setdefault(sig, [])
                 group.append((entry, fmaps, gt))
                 if len(group) < dp:
+                    # bound device memory: each buffered row pins its base
+                    # feature map (hundreds of MB at the 64-frame bucket);
+                    # past the cap, drain the oldest OTHER group through the
+                    # single-video pipeline (same as end-of-epoch remainders)
+                    while sum(len(g) for g in val_pending.values()) > 4 * dp:
+                        key = next(
+                            (k for k, g in val_pending.items()
+                             if g and k != sig),
+                            None,
+                        )
+                        if key is None:
+                            break
+                        for e, f, g in val_pending.pop(key):
+                            consume_pred(pipeline(state, e, f, gt_entry=e), g)
                     continue
                 batch = stack_entries([e for e, _, _ in group])
                 if loop_cfg.mode in ("sgcls", "sgdet"):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidsgg.eval.adapter import to_eval_pred
+from vidsgg.runtime.parallel import _stack_trees
 from vidsgg.train.eval_pipeline import (
     EvalPipeline,
     _cast_floating,
@@ -39,24 +40,12 @@ def _pair_fused(state, entries, fmaps, needs_union, union_ppf):
 sgdet_fused_pair_stage = jax.jit(_pair_fused, static_argnums=(3, 4))
 
 
-@jax.jit
-def _stack_trees(trees):
-    """ONE dispatch stacking a tuple of same-structure pytrees on a new
-    leading axis (eager per-leaf jnp.stack would pay ~a tunnel dispatch per
-    leaf — ~20 for an Entry)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-
-
 def _sig(entry, fmaps) -> tuple:
     """Group key: videos stack only when every entry leaf AND the feature
     map share shapes (same capacity bucket, same spatial canvas)."""
-    return (
-        tuple(np.shape(fmaps)),
-        tuple(
-            (tuple(x.shape), str(getattr(x, "dtype", "")))
-            for x in jax.tree.leaves(entry)
-        ),
-    )
+    from vidsgg.runtime.parallel import tree_shape_sig
+
+    return tree_shape_sig(fmaps, entry)
 
 
 @dataclasses.dataclass
@@ -74,6 +63,9 @@ class PairedSgdetEval:
 
     pipeline: EvalPipeline
     group: int = 2
+    # cap on buffered videos across all shape signatures (0 -> 4 * group);
+    # each buffered row pins its base-feature map in HBM
+    max_pending: int = 0
     # optional device mesh for multi-chip serving: the vmapped fused stage
     # runs sharded along the video axis (runtime/parallel.py's
     # make_parallel_sgdet_eval_step), params replicated — pair the flag
@@ -113,10 +105,30 @@ class PairedSgdetEval:
         )
 
     def add(self, state, entry, fmaps, gt_entry=None, payload=None):
-        buf = self._pending.setdefault(_sig(entry, fmaps), [])
+        sig = _sig(entry, fmaps)
+        buf = self._pending.setdefault(sig, [])
         buf.append((entry, fmaps, gt_entry, payload))
         if len(buf) < self.group:
-            return []
+            # bound device memory: every buffered row pins its base feature
+            # map (hundreds of MB at the 64-frame bucket), so stragglers
+            # across many (canvas, bucket) signatures would otherwise pin
+            # HBM until the end-of-run flush. Past the cap, drain the
+            # oldest OTHER signature through the single-video pipeline —
+            # bit-identical to the flush path.
+            ready = []
+            bound = self.max_pending or 4 * self.group
+            while sum(len(b) for b in self._pending.values()) > bound:
+                key = next(
+                    (k for k, b in self._pending.items() if b and k != sig),
+                    None,
+                )
+                if key is None:  # only the active group remains -> keep it
+                    break
+                for e, f, g, pl in self._pending.pop(key):
+                    ready.append(
+                        (self.pipeline(state, e, f, gt_entry=g), pl)
+                    )
+            return ready
         ready = self._run_group(state, buf)
         buf.clear()
         return ready
