@@ -71,3 +71,23 @@ def test_reference_style_command_lines_parse():
 )
 def test_cli_modules_import(mod):
     __import__(mod)
+
+
+def test_maybe_trace_helper(tmp_path):
+    # no-op without a dir; writes an xplane trace with one (--profile DIR)
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidsgg.utils.profiling import maybe_trace
+
+    with maybe_trace(None):
+        pass
+
+    d = str(tmp_path / "trace")
+    with maybe_trace(d):
+        float(jax.jit(lambda x: x * 2)(jnp.ones(4)).sum())
+    assert any(
+        f.endswith(".xplane.pb") for _, _, fs in os.walk(d) for f in fs
+    )

@@ -82,9 +82,15 @@ def test_tempura_predcls_train_then_test_cli(ag_root, tmp_path):
 
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
+    trace_dir = str(tmp_path / "trace")
     tempura_train.main(
         ["--mode", "predcls", "--nepoch", "1", "-log_iter", "2",
-         "--save_path", ckpt] + _common_flags(ag_root)
+         "--save_path", ckpt, "--profile", trace_dir] + _common_flags(ag_root)
+    )
+    # --profile wraps the run in one jax.profiler trace (utils/profiling.py)
+    assert any(
+        f.endswith(".xplane.pb")
+        for _, _, fs in os.walk(trace_dir) for f in fs
     )
     # orbax checkpoint + metrics files written by the loop
     assert os.path.isdir(os.path.join(ckpt, "checkpoint_0"))

@@ -27,10 +27,14 @@ class _MemCfg:
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic = 0
+    synthetic, profile_dir = 0, None
     if "--synthetic" in argv:
         i = argv.index("--synthetic")
         synthetic = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--profile" in argv:
+        i = argv.index("--profile")
+        profile_dir = argv[i + 1]
         del argv[i : i + 2]
     cfg = TeatGTRunConfig.from_args(argv)
     print(f">>> TEAT-GT train: mode={cfg.mode} synthetic={synthetic or 'off'}")
@@ -129,10 +133,13 @@ def main(argv=None):
     if cfg.data_parallel > 1:
         print(f">>> data-parallel over {cfg.data_parallel} devices "
               f"({jax.device_count()} visible)")
-    state = run_training(
-        state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
-        jax.random.PRNGKey(cfg.seed + 1),
-    )
+    from vidsgg.utils.profiling import maybe_trace
+
+    with maybe_trace(profile_dir):  # --profile DIR: one jax.profiler trace
+        state = run_training(
+            state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
+            jax.random.PRNGKey(cfg.seed + 1),
+        )
     writer.close()
     print(">>> TEAT-GT train complete")
     return state

@@ -30,13 +30,14 @@ from vidsgg.train.eval_pipeline import EvalPipeline
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic, max_videos, ckpt = 0, None, None
+    synthetic, max_videos, ckpt, profile_dir = 0, None, None, None
     ckpt_name = "best_recall"
     bf16 = "--bf16" in argv
     if bf16:
         argv.remove("--bf16")
     for flag, cast in (("--synthetic", int), ("--max_videos", int),
-                       ("--ckpt", str), ("--ckpt_name", str)):
+                       ("--ckpt", str), ("--ckpt_name", str),
+                       ("--profile", str)):
         if flag in argv:
             i = argv.index(flag)
             val = cast(argv[i + 1])
@@ -47,6 +48,8 @@ def main(argv=None):
                 max_videos = val
             elif flag == "--ckpt_name":
                 ckpt_name = val
+            elif flag == "--profile":
+                profile_dir = val
             else:
                 ckpt = val
     cfg = TempuraRunConfig.from_args(argv)
@@ -175,24 +178,27 @@ def main(argv=None):
                 tc_c.extend(c)
         n += 1
 
-    for item in stream:
-        if max_videos is not None and n >= max_videos:
-            break
-        if isinstance(item, PairGroup):  # batched straight off the detector
-            for pred, g in paired.run_batched(state, item.entry, item.fmaps,
-                                              item.anns):
-                consume(pred, g)
-            continue
-        entry, fmaps, gt = item
+    from vidsgg.utils.profiling import maybe_trace
+
+    with maybe_trace(profile_dir):  # --profile DIR: one jax.profiler trace
+        for item in stream:
+            if max_videos is not None and n >= max_videos:
+                break
+            if isinstance(item, PairGroup):  # batched off the detector
+                for pred, g in paired.run_batched(state, item.entry,
+                                                  item.fmaps, item.anns):
+                    consume(pred, g)
+                continue
+            entry, fmaps, gt = item
+            if paired is not None:
+                for pred, g in paired.add(state, entry, fmaps, gt_entry=entry,
+                                          payload=gt):
+                    consume(pred, g)
+                continue
+            consume(pipeline(state, entry, fmaps, gt_entry=entry), gt)
         if paired is not None:
-            for pred, g in paired.add(state, entry, fmaps, gt_entry=entry,
-                                      payload=gt):
+            for pred, g in paired.flush(state):
                 consume(pred, g)
-            continue
-        consume(pipeline(state, entry, fmaps, gt_entry=entry), gt)
-    if paired is not None:
-        for pred, g in paired.flush(state):
-            consume(pred, g)
     dt = time.time() - t0
     print(f"evaluated {n} videos in {dt:.1f}s")
     for name, ev in zip(("with", "semi", "no"), evs):

@@ -24,7 +24,7 @@ from vidsgg.train.metrics import MetricsWriter
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic, resume = 0, None
+    synthetic, resume, profile_dir = 0, None, None
     if "--synthetic" in argv:
         i = argv.index("--synthetic")
         synthetic = int(argv[i + 1])
@@ -32,6 +32,10 @@ def main(argv=None):
     if "--resume" in argv:
         i = argv.index("--resume")
         resume = argv[i + 1]
+        del argv[i : i + 2]
+    if "--profile" in argv:
+        i = argv.index("--profile")
+        profile_dir = argv[i + 1]
         del argv[i : i + 2]
     cfg = TempuraRunConfig.from_args(argv)
     print(f">>> TEMPURA train: mode={cfg.mode} synthetic={synthetic or 'off'}")
@@ -144,10 +148,13 @@ def main(argv=None):
     if cfg.data_parallel > 1:
         print(f">>> data-parallel over {cfg.data_parallel} devices "
               f"({jax.device_count()} visible)")
-    state = run_training(
-        state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
-        jax.random.PRNGKey(cfg.seed + 1), model_cfg=model_cfg,
-    )
+    from vidsgg.utils.profiling import maybe_trace
+
+    with maybe_trace(profile_dir):  # --profile DIR: one jax.profiler trace
+        state = run_training(
+            state, cfg.loss_flags(), loop_cfg, train_src, val_src, cap, writer,
+            jax.random.PRNGKey(cfg.seed + 1), model_cfg=model_cfg,
+        )
     writer.close()
     print(">>> TEMPURA train complete")
     return state

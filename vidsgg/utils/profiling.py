@@ -48,3 +48,17 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def maybe_trace(log_dir):
+    """`trace` when a directory is given, no-op otherwise.
+
+    Backs the CLIs' ``--profile DIR`` flag: the whole train/eval run is
+    captured as one jax.profiler trace for TensorBoard/XProf.
+    """
+    if not log_dir:
+        yield
+    else:
+        with trace(log_dir):
+            yield
