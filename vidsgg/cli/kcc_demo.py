@@ -50,6 +50,8 @@ def main(argv=None):
                    help="serve the detector convs in int8 (PTQ calibrated "
                         "on the first --int8_calib demo videos)")
     p.add_argument("--int8_calib", type=int, default=2)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture the run as one jax.profiler (XProf) trace")
     args = p.parse_args(argv)
 
     ds = KCCDataset(args.data_path)
@@ -124,40 +126,46 @@ def main(argv=None):
         print(f"  {name}: {f} frames -> "
               f"{len(pred['im_idx'])} triplet rows")
 
-    for vi in range(len(ds)):
-        frames, scale, name = ds.load_video_frames(
-            vi, target_min_side=args.frame_size
-        )
-        frames = frames[: args.max_frames]
-        f, h, w, _ = frames.shape
-        # canvas + frame buckets bound the detector compile set across the
-        # demo's arbitrary video resolutions/lengths
-        canvas = pick_canvas(h, w, canvases) or (
-            -(-h // 16) * 16, -(-w // 16) * 16
-        )
-        fpad = next((b for b in (8, 16, 32, 64) if f <= b <= args.max_frames), f)
-        pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
-        pad[:f, :h, :w] = frames
-        entry, fmaps = frontend(
-            jnp.asarray(pad), jnp.array([float(h), float(w)]), scale,
-            is_train=False, video_size=(w / scale, h / scale), num_frames=f,
-        )
-        if state is None:
-            state = create_train_state(
-                model, cfg, entry, jax.random.PRNGKey(0),
-                make_optimizer(steps_per_epoch=1),
+    from vidsgg.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile):  # --profile DIR: one jax.profiler trace
+        for vi in range(len(ds)):
+            frames, scale, name = ds.load_video_frames(
+                vi, target_min_side=args.frame_size
             )
-            if args.ckpt:
-                state = restore_checkpoint(args.ckpt, state, "best_recall")
-        if paired is not None:  # same-shape videos share one dispatch
-            for pred, tag in paired.add(state, entry, jnp.asarray(fmaps),
-                                        payload=(name, f)):
+            frames = frames[: args.max_frames]
+            f, h, w, _ = frames.shape
+            # canvas + frame buckets bound the detector compile set across
+            # the demo's arbitrary video resolutions/lengths
+            canvas = pick_canvas(h, w, canvases) or (
+                -(-h // 16) * 16, -(-w // 16) * 16
+            )
+            fpad = next(
+                (b for b in (8, 16, 32, 64) if f <= b <= args.max_frames), f
+            )
+            pad = np.zeros((fpad, canvas[0], canvas[1], 3), np.float32)
+            pad[:f, :h, :w] = frames
+            entry, fmaps = frontend(
+                jnp.asarray(pad), jnp.array([float(h), float(w)]), scale,
+                is_train=False, video_size=(w / scale, h / scale),
+                num_frames=f,
+            )
+            if state is None:
+                state = create_train_state(
+                    model, cfg, entry, jax.random.PRNGKey(0),
+                    make_optimizer(steps_per_epoch=1),
+                )
+                if args.ckpt:
+                    state = restore_checkpoint(args.ckpt, state, "best_recall")
+            if paired is not None:  # same-shape videos share one dispatch
+                for pred, tag in paired.add(state, entry, jnp.asarray(fmaps),
+                                            payload=(name, f)):
+                    emit(pred, tag)
+                continue
+            emit(pipeline(state, entry, jnp.asarray(fmaps)), (name, f))
+        if paired is not None:
+            for pred, tag in paired.flush(state):
                 emit(pred, tag)
-            continue
-        emit(pipeline(state, entry, jnp.asarray(fmaps)), (name, f))
-    if paired is not None:
-        for pred, tag in paired.flush(state):
-            emit(pred, tag)
 
     dump_kcc_predictions(args.out, all_preds)
     print(f"predictions written to {args.out}")
