@@ -32,6 +32,7 @@ def find_consecutive_duplicates(target_bool, gt_seq, window=6):
     intervals = []
     cnt = 0
     prev = -1
+    i = -1
     b = gt = None
     for i, (b, gt) in enumerate(zip(target_bool, gt_seq)):
         if b and gt == prev:
@@ -41,8 +42,10 @@ def find_consecutive_duplicates(target_bool, gt_seq, window=6):
                 intervals.append([i - cnt, i])
             cnt = 0
             prev = gt
+    # trailing run: the reference appends [id-cnt, id] with id = the LAST loop
+    # index, i.e. the final element of the run is excluded (:22-23 quirk)
     if b is not None and b and gt == prev and cnt >= window:
-        intervals.append([len(target_bool) - cnt, len(target_bool)])
+        intervals.append([i - cnt, i])
     return intervals
 
 

@@ -195,6 +195,64 @@ def consume_object_classifier(sd, params, stats, consumed, *, tracking,
                         oc + ["decoder"], consumed)
 
 
+def _consume_sttran(sd, prefix, params, path, consumed, *, enc_layers,
+                    dec_layers, rel_mem_compute):
+    """The STTran block (tools/utils/transformer.py:104-141) under a torch
+    key prefix (``glocal_transformer`` inside TEMPURA) -> this repo's
+    :class:`vidsgg.models.sttran.STTran` auto-names."""
+    for i in range(enc_layers):
+        _consume_torch_encoder_layer(
+            sd, f"{prefix}.local_attention.layers.{i}", params,
+            path + [f"enc_{i}"], consumed)
+    for i in range(dec_layers):
+        _consume_decoder_layer(
+            sd, f"{prefix}.global_attention.layers.{i}", params,
+            path + [f"dec_{i}"], consumed)
+    key = f"{prefix}.position_embedding.weight"
+    if key in sd:
+        _set(params, path + ["position_embedding"], sd[key])
+        consumed.add(key)
+    if rel_mem_compute:
+        _consume_memory(sd, prefix, params, path + ["memory"], consumed)
+
+
+def convert_sttran_state_dict(state_dict: dict, *, enc_layers: int,
+                              dec_layers: int, rel_mem_compute,
+                              strict: bool = True) -> dict:
+    """Map a bare reference ``transformer`` module's ``state_dict()``
+    (tools/utils/transformer.py:104-141, i.e. the object TEMPURA names
+    ``glocal_transformer``) onto :class:`vidsgg.models.sttran.STTran` params.
+
+    Used by the torch-oracle parity tests, which instantiate the reference's
+    own module and assert forward agreement through this mapping."""
+    sd = {f"m.{k}": np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    consumed: set = set()
+    for key in sd:
+        if key.endswith(_IGNORABLE_SUFFIXES):
+            consumed.add(key)
+    _consume_sttran(sd, "m", params, [], consumed, enc_layers=enc_layers,
+                    dec_layers=dec_layers, rel_mem_compute=rel_mem_compute)
+    leftovers = sorted(set(sd) - consumed)
+    if leftovers and strict:
+        raise KeyError(f"unconsumed torch keys: {leftovers[:10]}")
+    return params
+
+
+def convert_gmm_head_state_dict(state_dict: dict, k: int) -> dict:
+    """Map a bare reference ``GMM_head`` ``state_dict()``
+    (tools/utils/gmm_heads.py:3-18) onto :class:`vidsgg.models.gmm_head.
+    GMMHead` params (fused k-major mu/pi/var Denses)."""
+    sd = {f"m.{k_}": np.asarray(v) for k_, v in state_dict.items()}
+    params: dict = {}
+    consumed: set = set()
+    _consume_gmm_head(sd, "m", params, [], k, consumed)
+    leftovers = sorted(set(sd) - consumed)
+    if leftovers:
+        raise KeyError(f"unconsumed torch keys: {leftovers[:10]}")
+    return params
+
+
 def convert_tempura_state_dict(state_dict: dict, cfg, strict: bool = True) -> dict:
     """torch TEMPURA ``state_dict`` -> ``{'params': ..., 'batch_stats': ...}``
     for :class:`vidsgg.models.tempura.Tempura` built from ``cfg``.
@@ -232,22 +290,10 @@ def convert_tempura_state_dict(state_dict: dict, cfg, strict: bool = True) -> di
             consumed.add(key)
 
     # ---- STTran (tools/utils/transformer.py via glocal_transformer) ----
-    gt = ["glocal_transformer"]
-    for i in range(cfg.enc_layers):
-        _consume_torch_encoder_layer(
-            sd, f"glocal_transformer.local_attention.layers.{i}", params,
-            gt + [f"enc_{i}"], consumed)
-    for i in range(cfg.dec_layers):
-        _consume_decoder_layer(
-            sd, f"glocal_transformer.global_attention.layers.{i}", params,
-            gt + [f"dec_{i}"], consumed)
-    key = "glocal_transformer.position_embedding.weight"
-    if key in sd:
-        _set(params, gt + ["position_embedding"], sd[key])
-        consumed.add(key)
-    if cfg.rel_mem_compute:
-        _consume_memory(sd, "glocal_transformer", params, gt + ["memory"],
-                        consumed)
+    _consume_sttran(sd, "glocal_transformer", params, ["glocal_transformer"],
+                    consumed, enc_layers=cfg.enc_layers,
+                    dec_layers=cfg.dec_layers,
+                    rel_mem_compute=cfg.rel_mem_compute)
 
     # ---- relation heads ----
     for torch_name, ours in (("a_rel_compress", "a_rel"),

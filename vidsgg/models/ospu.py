@@ -72,11 +72,11 @@ class TorchEncoderLayer(nn.Module):
         a = MultiheadAttention(self.d_model, self.nhead, self.dropout)(
             x, x, x, attn_mask, deterministic
         )
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(a, deterministic=deterministic))
+        x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout)(a, deterministic=deterministic))
         h = nn.relu(nn.Dense(self.dim_feedforward)(x))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model)(h)
-        return nn.LayerNorm()(x + nn.Dropout(self.dropout)(h, deterministic=deterministic))
+        return nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout)(h, deterministic=deterministic))
 
 
 class ObjectMemoryHallucinator(nn.Module):

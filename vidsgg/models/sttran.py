@@ -47,10 +47,10 @@ class EncoderLayer(nn.Module):
         src2 = MultiheadAttention(self.embed_dim, self.nhead, self.dropout)(
             src, src, src, attn_mask, deterministic
         )
-        src = nn.LayerNorm()(src + nn.Dropout(self.dropout)(src2, deterministic=deterministic))
+        src = nn.LayerNorm(epsilon=1e-5)(src + nn.Dropout(self.dropout)(src2, deterministic=deterministic))
         h = nn.relu(nn.Dense(self.dim_feedforward)(src))
         src2 = nn.Dense(self.embed_dim)(nn.Dropout(self.dropout)(h, deterministic=deterministic))
-        return nn.LayerNorm()(src + nn.Dropout(self.dropout)(src2, deterministic=deterministic))
+        return nn.LayerNorm(epsilon=1e-5)(src + nn.Dropout(self.dropout)(src2, deterministic=deterministic))
 
 
 class DecoderLayer(nn.Module):
@@ -68,7 +68,7 @@ class DecoderLayer(nn.Module):
         t2 = MultiheadAttention(self.embed_dim, self.nhead, self.dropout)(
             qk, qk, x, attn_mask, deterministic
         )
-        t = nn.LayerNorm()(x + nn.Dropout(self.dropout)(t2, deterministic=deterministic))
+        t = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout)(t2, deterministic=deterministic))
         h = nn.relu(nn.Dense(self.dim_feedforward)(t))
         t2 = nn.Dense(self.embed_dim)(nn.Dropout(self.dropout)(h, deterministic=deterministic))
         return t + nn.Dropout(self.dropout)(t2, deterministic=deterministic)

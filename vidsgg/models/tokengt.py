@@ -95,7 +95,7 @@ class TokenGTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask, deterministic=True, key_mask=None):
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         if self.performer:
             h = MultiheadPerformerAttention(
                 self.embed_dim, self.num_heads, self.performer_nb_features
@@ -106,7 +106,7 @@ class TokenGTLayer(nn.Module):
             )(h, h, h, attn_mask, deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.gelu(nn.Dense(self.ffn_dim)(h), approximate=False)
         h = nn.Dropout(self.activation_dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.embed_dim)(h)
@@ -242,7 +242,7 @@ class TokenGTEncoder(nn.Module):
 
         # --- LM head ---
         h = nn.Dense(d, name="lm_head_transform_weight")(seq)
-        h = nn.LayerNorm(name="lm_head_ln")(nn.gelu(h, approximate=False))
+        h = nn.LayerNorm(epsilon=1e-5, name="lm_head_ln")(nn.gelu(h, approximate=False))
         hidden = h
         bias = self.param("lm_output_bias", nn.initializers.zeros, (self.num_output,))
         logits = nn.Dense(self.num_output, use_bias=False, name="embed_out")(h) + bias
