@@ -22,7 +22,7 @@ def test_dryrun_multichip(n):
     import __graft_entry__ as g
 
     assert len(jax.devices()) >= n
-    g.dryrun_multichip(n)
+    g.dryrun_multichip(n, "tempura-predcls")
 
 
 @pytest.mark.parametrize(
@@ -40,9 +40,10 @@ def test_dryrun_multichip_variants(variant):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("VIDSGG_FULL_MESH_TESTS"),
-    reason="8-device dryrun compiles ~15 min on this 1-core host; the "
-    "driver exercises dryrun_multichip(8) directly. Set "
-    "VIDSGG_FULL_MESH_TESTS=1 to include it.",
+    reason="8-device dryrun (now all four variants) compiles for the better "
+    "part of an hour on this 1-core host; the driver exercises "
+    "dryrun_multichip(8) directly. Set VIDSGG_FULL_MESH_TESTS=1 to "
+    "include it.",
 )
 def test_dryrun_multichip_full_mesh():
     import __graft_entry__ as g

@@ -178,8 +178,13 @@ def make_ag_source(
     max_videos: int | None = None,
     buckets: list[EntryCapacity] | None = None,
     canvases=DEFAULT_CANVASES,
+    yield_index: bool = False,
 ):
     """Action Genome source (predcls/sgcls GT-box path).
+
+    With ``yield_index``, items are ``(dataset_index, entry, fmaps, ann)`` —
+    the qualitative-evaluation CLI uses the index to reload display frames
+    for scene-graph overlays.
 
     With ``buckets`` (ascending capacities), each video is padded to the
     smallest covering bucket; otherwise everything uses ``cap`` and
@@ -242,7 +247,7 @@ def make_ag_source(
             stats.yielded += 1
             key = vid_cap.max_frames
             stats.bucket_counts[key] = stats.bucket_counts.get(key, 0) + 1
-            yield entry, fmaps, ann
+            yield (int(i), entry, fmaps, ann) if yield_index else (entry, fmaps, ann)
         if stats.skipped:
             print(
                 f"[ag_source] skipped {stats.skipped} over-capacity videos "
@@ -398,6 +403,7 @@ def make_sgdet_source(
     frame_buckets: tuple = (8, 16, 32, 64),
     pair_detect: int = 1,
     pair_grouped: bool = False,
+    yield_index: bool = False,
 ):
     """Full-detection source: raw frames -> SgdetFrontend -> (entry, fmaps, gt).
 
@@ -415,7 +421,13 @@ def make_sgdet_source(
     the train side the ONE grouped small-array transfer also amortizes the
     tunnel round trip (docs/PERF.md). Bucket remainders fall back to the
     single-video frontend.
+
+    ``yield_index`` (single-video path only) yields
+    ``(dataset_index, entry, fmaps, ann)`` for the qualitative CLI.
     """
+    if yield_index and pair_detect > 1:
+        raise ValueError("yield_index requires pair_detect == 1 "
+                         "(pairing reorders videos)")
     rng = np.random.RandomState(seed)
     stats = SourceStats()
 
@@ -517,7 +529,8 @@ def make_sgdet_source(
                 stats.skipped += 1
                 continue
             stats.yielded += 1
-            yield entry, jnp.asarray(fmaps), ann
+            fmaps = jnp.asarray(fmaps)
+            yield (int(i), entry, fmaps, ann) if yield_index else (entry, fmaps, ann)
         # bucket remainders that never filled a pair: single-video frontend
         for buf in pending.values():
             for (pad, hw, scale, _vsize, f), ann in buf:

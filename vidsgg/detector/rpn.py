@@ -29,7 +29,13 @@ class RPNConfig:
     pre_nms_top_n: int = 6000
     post_nms_top_n: int = 300
     nms_thresh: float = 0.7
-    min_size: float = 16.0
+    # NOTE: no min_size proposal filter. The reference's frozen detector is
+    # the STTran-vendored jwyang faster-rcnn.pytorch
+    # (tools/fasterRCNN/lib/model/rpn/, imported at object_detector.py:10-13),
+    # whose proposal_layer.py ships the `_filter_boxes(proposals,
+    # min_size * im_info[2])` step COMMENTED OUT — the filter is not applied
+    # in that lineage, so applying one here would change which proposals
+    # survive vs the converted faster_rcnn_ag.pth checkpoint.
     # TPU-native approximate top-k (jax.lax.approx_max_k, ~2x faster than
     # the exact sort at AG anchor counts) for the pre-NMS selection; off by
     # default to keep exact reference semantics. Proposal selection is
