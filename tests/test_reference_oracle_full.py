@@ -1,0 +1,233 @@
+"""FULL-MODEL torch-oracle parity: the reference's own TEMPURA vs ours.
+
+tests/test_reference_oracle.py gates the hot submodules; this file gates
+the whole composed model: instantiate the reference's ``lib/tempura.py``
+TEMPURA (predcls — the one mode whose test forward is a single pass,
+lib/tempura.py:245-247), map its seeded ``state_dict()`` through the REAL
+checkpoint converter (``convert_tempura_state_dict``), feed both stacks an
+identical ragged video entry, and assert the three predicate distributions
+(and the unc=True uncertainty branch) agree in float64.
+
+``lib/tempura.py`` imports two native extensions absent from the checkout
+(the vendored jwyang roi_layers and the draw_rectangles Cython module,
+:20-21) plus ``tools.utils.fpn.box_utils``; none are touched by the predcls
+forward, so they are stubbed at import. The GloVe cache is also external —
+``obj_edge_vectors`` is monkeypatched to seeded noise on the torch side
+(the tables are state_dict entries, so the converter carries them over).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+torch = pytest.importorskip("torch")
+
+
+def _stub(name, **attrs):
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _unused(*_a, **_k):
+    raise AssertionError("stubbed native op reached in predcls forward")
+
+
+class _ROIAlignStub:
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        _unused()
+
+
+for _name in ("tools.fasterRCNN", "tools.fasterRCNN.lib",
+              "tools.fasterRCNN.lib.model"):
+    _stub(_name)
+_stub("tools.fasterRCNN.lib.model.roi_layers",
+      ROIAlign=_ROIAlignStub, nms=_unused)
+_stub("tools.utils.fpn")
+_stub("tools.utils.fpn.box_utils", center_size=_unused)
+_stub("tools.utils.draw_rectangles")
+_stub("tools.utils.draw_rectangles.draw_rectangles", draw_union_boxes=_unused)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vidsgg import constants as C  # noqa: E402
+from vidsgg.data import EntryCapacity, build_gt_entry  # noqa: E402
+from vidsgg.data.synthetic import synthetic_video_annotation  # noqa: E402
+from vidsgg.models.convert_relation import (  # noqa: E402
+    convert_tempura_state_dict,
+)
+from vidsgg.models.tempura import Tempura, TempuraConfig  # noqa: E402
+
+MEM_SIZES = {"attention": 3, "spatial": 6, "contacting": 17}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+    jax.clear_caches()
+
+
+def _build_reference(cfg, rel_mem_compute):
+    import lib.tempura as ref_mod
+
+    torch.manual_seed(42)
+    ref_mod.obj_edge_vectors = lambda names, **kw: torch.randn(
+        len(names), 200)
+    names = list(C.AG_OBJECT_CLASSES)[: cfg.num_classes]
+    rels = list(C.AG_RELATIONSHIP_CLASSES)
+    model = ref_mod.TEMPURA(
+        mode="predcls", attention_class_num=cfg.attention_class_num,
+        spatial_class_num=cfg.spatial_class_num,
+        contact_class_num=cfg.contact_class_num,
+        obj_classes=names, rel_classes=rels,
+        enc_layer_num=cfg.enc_layers, dec_layer_num=cfg.dec_layers,
+        obj_mem_compute=None, rel_mem_compute=rel_mem_compute,
+        mem_fusion="late", selection="manual", selection_lambda=0.5,
+        take_obj_mem_feat=False, obj_head="gmm", rel_head="gmm",
+        K=cfg.k, tracking=False,
+    ).double().eval()
+    # perturb away from init: untrained LayerNorm makes the reference's
+    # row-sum==0 decoder mask float-chaotic (see test_reference_oracle.py)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.add_(0.1 * torch.randn_like(p))
+    return model
+
+
+def _make_entry(cap, seed=3):
+    """Padded Entry with randomized features/unions (decorrelated from any
+    projection head) — the oracle's shared input."""
+    rng = np.random.default_rng(seed)
+    ann = synthetic_video_annotation(num_frames=4, objs_per_frame=2,
+                                     seed=seed)
+    entry = build_gt_entry(ann, cap)
+    n = int(np.asarray(entry.obj_mask).sum())
+    p = int(np.asarray(entry.pair_mask).sum())
+    feats = np.zeros((cap.max_objs, 2048))
+    feats[:n] = rng.standard_normal((n, 2048))
+    union = np.zeros((cap.max_pairs, 7, 7, 1024))
+    union[:p] = rng.standard_normal((p, 7, 7, 1024))
+    masks = np.zeros((cap.max_pairs, 2, 27, 27))
+    masks[:p] = rng.standard_normal((p, 2, 27, 27)) * 0.5
+    entry = entry.replace(
+        features=jnp.asarray(feats),
+        union_feat=jnp.asarray(union),
+        spatial_masks=jnp.asarray(masks),
+    )
+    return entry, n, p
+
+
+def _torch_entry(entry, n, p):
+    """The reference's entry dict (unpadded) from the padded Entry."""
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float64))
+    ti = lambda a: torch.from_numpy(np.asarray(a, np.int64))
+    return {
+        "boxes": t(entry.boxes[:n]),
+        "labels": ti(entry.labels[:n]),
+        "features": t(entry.features[:n]),
+        "union_feat": t(entry.union_feat[:p]).permute(0, 3, 1, 2).contiguous(),
+        "spatial_masks": t(entry.spatial_masks[:p]),
+        "pair_idx": ti(entry.pair_idx[:p]),
+        "im_idx": t(entry.im_idx[:p]),  # the reference carries float im_idx
+    }
+
+
+@pytest.mark.parametrize("mem", ["off", "joint"])
+def test_full_tempura_predcls_matches_reference(mem):
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=10)
+    cfg = TempuraConfig(mode="predcls", enc_layers=1, dec_layers=2,
+                        obj_head="gmm", rel_head="gmm", k=2,
+                        rel_mem_compute="joint", mem_fusion="late",
+                        selection="manual", selection_lambda=0.5)
+    ref = _build_reference(cfg, rel_mem_compute=True)
+    entry, n, p = _make_entry(cap)
+    tentry = _torch_entry(entry, n, p)
+
+    rng = np.random.default_rng(9)
+    banks = {k_: rng.standard_normal((m, 1936)) for k_, m in MEM_SIZES.items()}
+    if mem == "joint":
+        ref.rel_memory = {k_: torch.from_numpy(v) for k_, v in banks.items()}
+        our_mem = jnp.asarray(np.concatenate(list(banks.values())))
+        active = True
+    else:
+        our_mem = jnp.zeros((C.NUM_PREDICATES, 1936))
+        active = False
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = ref(dict(tentry), phase="test", unc=False)
+    finally:
+        torch.set_default_dtype(old)
+
+    variables = convert_tempura_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    model = Tempura(cfg)
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        entry, phase="test", unc=False,
+        rel_memory=our_mem, obj_memory=jnp.zeros((cfg.num_classes - 1, 1024)),
+        mem_active=jnp.asarray(active),
+    )
+
+    for key in ("attention_distribution", "spatial_distribution",
+                "contacting_distribution"):
+        np.testing.assert_allclose(
+            np.asarray(out[key])[:p], out_ref[key].numpy(),
+            atol=1e-8, rtol=1e-8, err_msg=key)
+
+
+def test_full_tempura_predcls_unc_branch_matches_reference():
+    """unc=True: the per-head (aleatoric, epistemic) uncertainty pass the
+    memory-computation epochs run (lib/tempura.py:585-589)."""
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=10)
+    cfg = TempuraConfig(mode="predcls", enc_layers=1, dec_layers=2,
+                        obj_head="gmm", rel_head="gmm", k=2,
+                        rel_mem_compute="joint", mem_fusion="late",
+                        selection="manual", selection_lambda=0.5)
+    ref = _build_reference(cfg, rel_mem_compute=True)
+    entry, n, p = _make_entry(cap, seed=5)
+    tentry = _torch_entry(entry, n, p)
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = ref(dict(tentry), phase="test", unc=True)
+    finally:
+        torch.set_default_dtype(old)
+
+    variables = convert_tempura_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    out = Tempura(cfg).apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        entry, phase="test", unc=True,
+        rel_memory=jnp.zeros((C.NUM_PREDICATES, 1936)),
+        obj_memory=jnp.zeros((cfg.num_classes - 1, 1024)),
+        mem_active=jnp.asarray(False),
+    )
+    for key in ("attention_al_uc", "attention_ep_uc", "spatial_al_uc",
+                "spatial_ep_uc", "contacting_al_uc", "contacting_ep_uc"):
+        np.testing.assert_allclose(
+            np.asarray(out[key])[:p], out_ref[key].numpy(),
+            atol=1e-8, rtol=1e-8, err_msg=key)
