@@ -231,3 +231,129 @@ def test_full_tempura_predcls_unc_branch_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out[key])[:p], out_ref[key].numpy(),
             atol=1e-8, rtol=1e-8, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# OSPU (sgcls object classifier incl. tracking) vs lib/tempura.py:51-240
+# ---------------------------------------------------------------------------
+
+def _torch_center_size(boxes):
+    """center_size of the external fpn/box_utils (inclusive widths,
+    cx = x1 + 0.5*(w-1)) — the file is absent from the checkout, so the
+    oracle supplies the documented lineage formula to BOTH stacks; every
+    layer downstream of it (pos BN/fc, tracking encoder, PE, memory,
+    decoder) is genuinely gated against the reference."""
+    wh = boxes[:, 2:] - boxes[:, :2] + 1.0
+    return torch.cat((boxes[:, :2] + 0.5 * (wh - 1.0), wh), 1)
+
+
+@pytest.mark.parametrize("mem", ["off", "bank"])
+def test_ospu_sgcls_tracking_matches_reference(mem, monkeypatch):
+    """Train-phase sgcls classify: distribution @ obj_embed + pos embed,
+    ragged per-predicted-class tracking sequences through torch's OWN
+    nn.TransformerEncoder with frame-rank positional encoding
+    (lib/tempura.py:186-215), optional object-memory hallucination, BN+ReLU
+    intermediate, GMM decode with shared eps. Our masked same-class
+    attention replaces the ragged pad_sequence batching — this asserts the
+    replacement is exact on the reference's own module."""
+    import lib.tempura as ref_mod
+    from tools.utils.ds_track import get_sequence
+
+    from vidsgg.models.convert_relation import consume_object_classifier
+    from vidsgg.models.ospu import ObjectClassifier
+
+    monkeypatch.setattr(ref_mod, "center_size", _torch_center_size)
+    # lib/tempura.py:201 hard-codes masks.cuda() on the tracking padding
+    # mask; this image is CPU-only torch, so .cuda() becomes identity.
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+    torch.manual_seed(11)
+    ref_mod.obj_edge_vectors = lambda names, **kw: torch.randn(
+        len(names), 200)
+    names = list(C.AG_OBJECT_CLASSES)
+    k = 2
+    oc_ref = ref_mod.ObjectClassifier(
+        mode="sgcls", obj_head="gmm", K=k, obj_classes=names,
+        mem_compute=(mem == "bank"), selection="manual",
+        selection_lambda=0.3, tracking=True,
+    ).double().eval()
+    with torch.no_grad():
+        for prm in oc_ref.parameters():
+            prm.add_(0.1 * torch.randn_like(prm))
+
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=10)
+    entry, n, p = _make_entry(cap, seed=7)
+    rng = np.random.default_rng(21)
+    # detector-style class scores (no bg column, softmaxed); several boxes
+    # share argmax classes -> multi-element tracking sequences + singletons
+    logits = rng.standard_normal((cap.max_objs, 36))
+    logits[:n, rng.integers(0, 4)] += 2.0
+    dist = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    dist[n:] = 0.0
+    entry = entry.replace(distribution=jnp.asarray(dist))
+
+    tentry = _torch_entry(entry, n, p)
+    tentry["distribution"] = torch.from_numpy(dist[:n])
+    get_sequence(tentry, None, None, "sgcls")
+
+    bank = rng.standard_normal((36, 2048 + 200 + 128))
+    if mem == "bank":
+        oc_ref.obj_memory = torch.from_numpy(bank)
+
+    # shared reparameterization noise (see test_reference_oracle.py)
+    eps = rng.standard_normal((cap.max_objs, k, 37))
+    calls = {"i": 0}
+
+    def fake_randn(*shape, **kw):
+        i = calls["i"]
+        calls["i"] += 1
+        return torch.from_numpy(eps[:n, i, :])
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+
+    def fake_normal(key, shape, dtype=None):
+        assert tuple(shape) == eps.shape
+        return jnp.asarray(eps, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = oc_ref(dict(tentry), phase="train", unc=False)
+    finally:
+        torch.set_default_dtype(old)
+
+    sd = {f"object_classifier.{k_}": v.numpy()
+          for k_, v in oc_ref.state_dict().items()}
+    params, stats, consumed = {}, {}, set()
+    consume_object_classifier(sd, params, stats, consumed, tracking=True,
+                              obj_mem_compute=(mem == "bank"),
+                              obj_head="gmm", k=k)
+    left = {k_ for k_ in sd if k_ not in consumed
+            and not k_.endswith("num_batches_tracked")}
+    assert not left, f"unconsumed: {sorted(left)[:8]}"
+
+    oc = ObjectClassifier(mode="sgcls", obj_head="gmm", k=k,
+                          mem_compute=(mem == "bank"), selection="manual",
+                          selection_lambda=0.3, tracking=True,
+                          max_pe_len=400)
+    out = oc.apply(
+        {"params": params["object_classifier"],
+         "batch_stats": stats.get("object_classifier", {})},
+        entry, phase="train", unc=False,
+        obj_memory=jnp.asarray(bank),
+        mem_active=jnp.asarray(mem == "bank"),
+        deterministic=True,
+        rngs={"gmm": jax.random.PRNGKey(0)},  # noise via fake_normal anyway
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["object_features"])[:n],
+        out_ref["object_features"].numpy(), atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(out["object_mem_features"])[:n],
+        out_ref["object_mem_features"].numpy(), atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(out["distribution"])[:n],
+        out_ref["distribution"].numpy(), atol=1e-8, rtol=1e-8)

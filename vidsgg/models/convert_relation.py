@@ -43,7 +43,7 @@ from vidsgg import constants as C
 from vidsgg.detector.convert import _conv_w, _lin_w, _set, validate_converted
 
 # buffers carrying no trained content
-_IGNORABLE_SUFFIXES = ("num_batches_tracked", "positional_encoder.pe")
+_IGNORABLE_SUFFIXES = ("num_batches_tracked",)
 
 
 def _consume_linear(sd, prefix, params, path, consumed, weight_fn=_lin_w):
@@ -160,11 +160,28 @@ def _consume_memory(sd, prefix, params, path, consumed):
 
 
 def consume_object_classifier(sd, params, stats, consumed, *, tracking,
-                              obj_mem_compute, obj_head, k):
+                              obj_mem_compute, obj_head, k,
+                              max_pe_len=None):
     """The OSPU object classifier's torch layout is shared by TEMPURA
     (lib/tempura.py:51-112) and TEAT-GT (tools/utils/object_classifier.py —
-    same attribute names/shapes); both converters consume it through here."""
+    same attribute names/shapes); both converters consume it through here.
+
+    The sinusoidal ``positional_encoder.pe`` buffer is carried over verbatim
+    (into the ``pe_table`` batch_stats variable): the reference builds it in
+    float32 torch ops whose rounding numpy cannot reproduce bitwise, so
+    recomputing it would put converted checkpoints ~1e-7 off the reference."""
     oc = ["object_classifier"]
+    pe_key = "object_classifier.positional_encoder.pe"
+    if tracking and pe_key in sd:
+        pe = np.asarray(sd[pe_key])[0]  # [1, max_len, D] buffer
+        if max_pe_len is not None:
+            if pe.shape[0] < max_pe_len:
+                raise ValueError(
+                    f"torch pe buffer has {pe.shape[0]} positions, model "
+                    f"needs max_pe_len={max_pe_len}")
+            pe = pe[:max_pe_len]
+        _set(stats, oc + ["pe_table"], pe)
+        consumed.add(pe_key)
     key = "object_classifier.obj_embed.weight"
     if key in sd:
         _set(params, oc + ["obj_embed"], sd[key])
@@ -313,7 +330,7 @@ def convert_tempura_state_dict(state_dict: dict, cfg, strict: bool = True) -> di
         consume_object_classifier(
             sd, params, stats, consumed, tracking=cfg.tracking,
             obj_mem_compute=cfg.obj_mem_compute, obj_head=cfg.obj_head,
-            k=cfg.k,
+            k=cfg.k, max_pe_len=600 if cfg.mode == "sgdet" else 400,
         )
 
     leftovers = sorted(set(sd) - consumed)

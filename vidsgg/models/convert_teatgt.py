@@ -58,7 +58,7 @@ from vidsgg.models.convert_relation import (
 )
 
 # buffers carrying no trained content
-_IGNORABLE_SUFFIXES = ("num_batches_tracked", "positional_encoder.pe")
+_IGNORABLE_SUFFIXES = ("num_batches_tracked",)
 
 # constructed-but-inert torch submodules (rationale in module docstring)
 _DROPPED_PREFIXES = (
@@ -173,6 +173,7 @@ def convert_teatgt_state_dict(state_dict: dict, cfg, strict: bool = True) -> dic
         consume_object_classifier(
             sd, params, stats, consumed, tracking=cfg.tracking,
             obj_mem_compute=False, obj_head="linear", k=4,
+            max_pe_len=600 if cfg.mode == "sgdet" else 400,
         )
 
     # ---- duplicate registrations of already-consumed tensors ----

@@ -160,7 +160,16 @@ class ObjectClassifier(nn.Module):
             seq_cls = jnp.argmax(entry.distribution, axis=1)
             frame = entry.boxes[:, 0].astype(jnp.int32)
             pos_idx = self._track_positions(seq_cls, frame, valid, entry.frame_mask.shape[0])
-            pe = jnp.asarray(sinusoidal_pe(self.max_pe_len, OBJ_FEAT_DIM))
+            # Checkpoint-carried state, not a param: the reference computes
+            # its sin/cos table in float32 torch ops whose rounding numpy
+            # cannot reproduce bitwise; converters overwrite this variable
+            # with the torch ``positional_encoder.pe`` buffer so converted
+            # checkpoints match the reference bit-for-bit. Self-init uses
+            # the (more accurate) float64-computed table.
+            pe = self.variable(
+                "batch_stats", "pe_table",
+                lambda: jnp.asarray(sinusoidal_pe(self.max_pe_len, OBJ_FEAT_DIM)),
+            ).value
             x = feats + pe[jnp.clip(pos_idx, 0, self.max_pe_len - 1)]
             x = nn.Dropout(0.1)(x, deterministic=deterministic)
             same_seq = (
