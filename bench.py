@@ -1,16 +1,33 @@
 """Benchmark: SGDet frames/sec/chip, end-to-end honest, plus MFU.
 
-v2 (round 2): measures the REAL serving path, not just the two device jit
-regions —
+v3 (round 4): the HEADLINE is the PARITY SERVING CONFIG — the exact
+detector/frontend defaults `tempura_test --mode sgdet` builds
+(`FasterRCNN()` = RPN 6000 pre-NMS / 300 post-NMS, `SgdetCaps()` = 16
+detections/frame; cli/data_source.py:build_detector + the test CLIs), at
+the 16-frame bucket so bench padding == CLI padding. The best CLI-reachable
+mode wins the headline: single-video, `--pair_detect 2`, or
+`--pair_detect 4`.
 
   end-to-end: raw frames -> SgdetFrontend (full ResNet-101 Faster R-CNN
-  forward, per-class NMS grid, host packing of the padded detections into a
-  relation Entry) -> fused sgdet eval stage (OSPU classify + on-device
+  forward, per-class NMS grid, device packing of the padded detections into
+  a relation Entry) -> fused sgdet eval stage (OSPU classify + on-device
   clean_class/NMS/relabel/pair-rebuild + union ROIAlign + STTran + GMM
-  heads) — one video at a time, exactly like the eval CLI.
+  heads) — exactly like the eval CLI.
 
-Also reported: the device-only fps of the two jit regions (detection,
-relation) and MFU = analytic XLA FLOPs per video / wall time / bf16 peak.
+Also reported, NOT the headline:
+* the round-2/3 reduced-proposal config (RPN 1000/128, 8 dets/frame) for
+  cross-round continuity — 128 post-NMS approximates the reference's
+  effective test load of ~100 rois/frame (rois [B,100,5],
+  object_detector.py:85-94), but it is a bench-shaped config, not what the
+  serving CLI defaults build;
+* `--int8` PTQ detector at pair group 4 (quantization changes numerics and
+  the R/mR accuracy gate needs the real AG checkpoint, so it cannot be the
+  headline).
+
+One honesty note: with random weights every detection slot fills, so the
+parity run packs 16 frames x 16 dets = 256 object slots where a real AG
+video fills ~64 — the relation stage here is strictly MORE padded than a
+parity user's, making the headline conservative.
 
 Weights are random (the AG-finetuned detector checkpoint is external data),
 which does not change the FLOP/bandwidth profile being measured.
@@ -21,7 +38,7 @@ roughly ~5 frames/s on the single consumer GPU the reference targets, so
 vs_baseline is reported against a 5 fps estimate — the driver's >=5x target
 corresponds to vs_baseline >= 5.
 
-Prints exactly one JSON line (primary metric = end-to-end fps).
+Prints exactly one JSON line (primary metric = parity-config end-to-end fps).
 """
 
 import json
@@ -34,14 +51,9 @@ import numpy as np
 BASELINE_FPS_ESTIMATE = 5.0
 V5E_BF16_PEAK = 197e12  # flops/s per chip
 
-FRAMES = 20
+FRAMES = 16          # == the CLI's 16-frame bucket (padding parity)
 H, W = 608, 1008     # min-side-600 AG resolution, padded to /16
-DETS_PER_FRAME = 8   # detections kept per frame (AG sgdet-scale load)
-MAX_OBJS = FRAMES * DETS_PER_FRAME  # random weights fill every slot
-MAX_PAIRS = 48
-# structural per-frame pair bound after the sgdet postprocess 2x expansion
-# (pairs/frame <= 2*dets_per_frame - 1) -> grouped per-frame union pooling
-UNION_PPF = 2 * DETS_PER_FRAME
+MAX_PAIRS = 48       # == default_buckets pairs cap at 16 frames
 
 
 def _flops(jitted, *args):
@@ -54,168 +66,171 @@ def _flops(jitted, *args):
         return 0.0
 
 
-def build():
-    from vidsgg.data import EntryCapacity
-    from vidsgg.detector.faster_rcnn import FasterRCNN
-    from vidsgg.detector.rpn import RPNConfig
-    from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
-    from vidsgg.models import Tempura, TempuraConfig
-    from vidsgg.train import create_train_state, make_optimizer
-    from vidsgg.train.eval_pipeline import sgdet_fused_stage
-
-    rng = jax.random.PRNGKey(0)
-    det_model = FasterRCNN(
-        rpn_cfg=RPNConfig(pre_nms_top_n=1000, post_nms_top_n=128),
-        dtype=jnp.bfloat16,
-    )
-    chunk0 = jnp.zeros((FRAMES, H, W, 3), jnp.float32)
-    im_hw = jnp.array([float(H), float(W)])
-    det_vars = jax.jit(det_model.init)(rng, chunk0[:1], im_hw)
-
-    cap = EntryCapacity(max_frames=FRAMES, max_objs=MAX_OBJS, max_pairs=MAX_PAIRS)
-    frontend = SgdetFrontend(
-        det_model, det_vars, SgdetCaps(dets_per_frame=DETS_PER_FRAME), cap
-    )
-
-    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
-    rel_model = Tempura(cfg)
-
-    video = jnp.asarray(
-        np.random.RandomState(0).rand(FRAMES, H, W, 3).astype(np.float32)
-    )
-
-    # one frontend pass to get a representative entry (also warms detect)
-    entry, fmaps = frontend(video, im_hw, 1.0, is_train=False)
-    state = create_train_state(
-        rel_model, cfg, entry, rng, make_optimizer(steps_per_epoch=1)
-    )
-
-    def e2e_video():
-        e, fm = frontend(video, im_hw, 1.0, is_train=False)
-        e2, out, overflow = sgdet_fused_stage(state, e, fm, True, UNION_PPF)
-        return out["contacting_distribution"]
-
-    def detect_only():
-        return frontend.detect(det_vars, video, im_hw, jnp.asarray(1.0))["scores"]
-
-    def relation_only():
-        _, out, _ = sgdet_fused_stage(state, entry, fmaps, True, UNION_PPF)
-        return out["contacting_distribution"]
-
-    def sync(x):
-        # under the axon tunnel block_until_ready does not synchronize; a
-        # host transfer does. One sync per measurement window (a per-call
-        # sync would add a ~25-30 ms tunnel round trip to every video).
-        return float(jnp.asarray(x).sum())
-
-    # batched-detect probe: 2 videos (2*FRAMES frames) through ONE detect
-    # dispatch — answers whether a bigger conv batch amortizes the
-    # thin-channel ResNet stages that cap MFU (docs/PERF.md roofline note)
-    video2 = jnp.concatenate([video, video], axis=0)
-
-    def detect_batch2():
-        return frontend.detect(det_vars, video2, im_hw, jnp.asarray(1.0))["scores"]
-
-    # the REAL paired serving path (--pair_detect 2): eval_pair packs both
-    # videos through one detect dispatch, then the fused relation stage runs
-    # VMAPPED over the pair (one dispatch amortizes its fixed latency) —
-    # exactly what make_sgdet_source(pair_detect=2) + PairedSgdetEval drive
-    from vidsgg.runtime.parallel import stack_entries
-    from vidsgg.train.pair_eval import sgdet_fused_pair_stage
-
-    video_b = jnp.asarray(
-        np.random.RandomState(1).rand(FRAMES, H, W, 3).astype(np.float32)
-    )
-    hw_t = (float(H), float(W))
-    vs_t = (float(W), float(H))
-    pair_args = [
-        (video, hw_t, 1.0, vs_t, FRAMES),
-        (video_b, hw_t, 1.0, vs_t, FRAMES),
-    ]
-
-    def e2e_pair():
-        # batched end-to-end: the detect jit emits the video batch, the
-        # vmapped fused stage consumes it — no per-video slice/restack
-        # dispatches in between (they measurably outweigh the vmap win)
-        e_b, bf_b, _ = frontend.eval_pair_batched(pair_args)
-        _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
-                                             UNION_PPF)
-        return out_b["contacting_distribution"]
-
-    entry_b = stack_entries([entry, entry])
-    fmaps_b = jnp.stack([jnp.asarray(fmaps)] * 2)
-
-    def relation_pair2():
-        _, out_b, _ = sgdet_fused_pair_stage(state, entry_b, fmaps_b, True,
-                                             UNION_PPF)
-        return out_b["contacting_distribution"]
-
-    # int8 serving probe (--int8): PTQ detector convs — s8 x s8 -> s32 runs
-    # at 2x the bf16 MXU rate on v5e and halves activation HBM bytes on the
-    # thin-channel stages. Scale VALUES don't affect speed, so the bench
-    # skips the record-mode calibration pass (saves two slow remote
-    # compiles) and fills unit scales; the CLI path calibrates for real
-    # (vidsgg/cli/data_source.py:quantize_detector_int8).
-    det8 = det_model.clone(quant="int8")
-    qshapes = jax.eval_shape(
-        det_model.clone(quant="record").init, rng, chunk0[:1], im_hw
-    )
-    vars8 = dict(det_vars)
-    vars8["quant"] = jax.tree.map(
-        lambda s: jnp.ones(s.shape, s.dtype), qshapes["quant"]
-    )
-    frontend8 = SgdetFrontend(
-        det8, vars8, SgdetCaps(dets_per_frame=DETS_PER_FRAME), cap
-    )
-
-    def e2e_pair_int8():
-        e_b, bf_b, _ = frontend8.eval_pair_batched(pair_args)
-        _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True,
-                                             UNION_PPF)
-        return out_b["contacting_distribution"]
-
-    flops_detect = _flops(frontend.detect, det_vars, video, im_hw, jnp.asarray(1.0))
-    flops_rel = _flops(sgdet_fused_stage, state, entry, fmaps, True, UNION_PPF)
-
-    return (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
-            relation_pair2, e2e_pair_int8, sync, flops_detect + flops_rel)
+def _sync(x):
+    # under the axon tunnel block_until_ready does not synchronize; a host
+    # transfer does. One sync per measurement window (a per-call sync would
+    # add a ~25-30 ms tunnel round trip to every video).
+    return float(jnp.asarray(x).sum())
 
 
-def _time_window(fn, sync, iters):
-    sync(fn())  # warmup/compile
+def _time_window(fn, iters):
+    _sync(fn())  # warmup/compile
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = fn()
-    sync(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    (e2e_video, detect_only, relation_only, detect_batch2, e2e_pair,
-     relation_pair2, e2e_pair_int8, sync, flops_video) = build()
+class Config:
+    """One (detector, frontend, relation) stack under a given RPN/dets
+    config. ``parity=True`` builds the serving CLI's exact defaults."""
 
-    dt_detect = _time_window(detect_only, sync, 10)
-    dt_rel = _time_window(relation_only, sync, 10)
-    dt_rel_p2 = _time_window(relation_pair2, sync, 10) / 2   # per video
-    dt_detect_b2 = _time_window(detect_batch2, sync, 5) / 2  # per video
-    dt_e2e = _time_window(e2e_video, sync, 6)
-    dt_e2e_pair = _time_window(e2e_pair, sync, 5) / 2        # per video
+    def __init__(self, state_holder, *, pre_nms, post_nms, dets_per_frame,
+                 quant_vars=None):
+        from vidsgg.data import EntryCapacity
+        from vidsgg.detector.faster_rcnn import FasterRCNN
+        from vidsgg.detector.rpn import RPNConfig
+        from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend
+
+        rng = jax.random.PRNGKey(0)
+        self.det_model = FasterRCNN(
+            rpn_cfg=RPNConfig(pre_nms_top_n=pre_nms, post_nms_top_n=post_nms),
+            dtype=jnp.bfloat16,
+        )
+        self.im_hw = jnp.array([float(H), float(W)])
+        chunk0 = jnp.zeros((1, H, W, 3), jnp.float32)
+        if state_holder.get("det_vars") is None:
+            state_holder["det_vars"] = jax.jit(self.det_model.init)(
+                rng, chunk0, self.im_hw)
+        self.det_vars = state_holder["det_vars"]
+        if quant_vars is not None:
+            self.det_model = self.det_model.clone(quant="int8")
+            self.det_vars = quant_vars(self.det_model, self.det_vars)
+        # random weights fill every detection slot -> the compact packer
+        # needs max_objs = F * dets (see module docstring honesty note)
+        self.cap = EntryCapacity(
+            max_frames=FRAMES, max_objs=FRAMES * dets_per_frame,
+            max_pairs=MAX_PAIRS)
+        self.frontend = SgdetFrontend(
+            self.det_model, self.det_vars,
+            SgdetCaps(dets_per_frame=dets_per_frame), self.cap)
+        self.union_ppf = 2 * dets_per_frame
+
+    def videos(self, n):
+        hw_t, vs_t = (float(H), float(W)), (float(W), float(H))
+        return [
+            (jnp.asarray(np.random.RandomState(i).rand(
+                FRAMES, H, W, 3).astype(np.float32)),
+             hw_t, 1.0, vs_t, FRAMES)
+            for i in range(n)
+        ]
+
+
+def main():
+    from vidsgg.models import Tempura, TempuraConfig
+    from vidsgg.train import create_train_state, make_optimizer
+    from vidsgg.train.eval_pipeline import sgdet_fused_stage
+    from vidsgg.train.pair_eval import sgdet_fused_pair_stage
+
+    rng = jax.random.PRNGKey(0)
+    holder = {}
+
+    # ---- parity serving config: what `tempura_test --mode sgdet` builds ----
+    par = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16)
+    vids = par.videos(4)
+    video0 = vids[0][0]
+
+    entry, fmaps = par.frontend(video0, par.im_hw, 1.0, is_train=False)
+    cfg = TempuraConfig.for_mode("sgdet", obj_head="gmm", rel_head="gmm")
+    state = create_train_state(
+        Tempura(cfg), cfg, entry, rng, make_optimizer(steps_per_epoch=1))
+
+    def e2e_single():
+        e, fm = par.frontend(video0, par.im_hw, 1.0, is_train=False)
+        _, out, _ = sgdet_fused_stage(state, e, fm, True, par.union_ppf)
+        return out["contacting_distribution"]
+
+    def make_pair(front, group, ppf):
+        args = vids[:group]
+
+        def run():
+            e_b, bf_b, _ = front.eval_pair_batched(args)
+            _, out_b, _ = sgdet_fused_pair_stage(state, e_b, bf_b, True, ppf)
+            return out_b["contacting_distribution"]
+
+        return run
+
+    def detect_only():
+        return par.frontend.detect(
+            par.det_vars, video0, par.im_hw, jnp.asarray(1.0))["scores"]
+
+    def relation_only():
+        _, out, _ = sgdet_fused_stage(state, entry, fmaps, True, par.union_ppf)
+        return out["contacting_distribution"]
+
+    dt_detect = _time_window(detect_only, 8)
+    dt_rel = _time_window(relation_only, 8)
+    dt_single = _time_window(e2e_single, 6)
+    dt_pair2 = _time_window(make_pair(par.frontend, 2, par.union_ppf), 5) / 2
+    dt_pair4 = _time_window(make_pair(par.frontend, 4, par.union_ppf), 4) / 4
+
+    flops_video = (
+        _flops(par.frontend.detect, par.det_vars, video0, par.im_hw,
+               jnp.asarray(1.0))
+        + _flops(sgdet_fused_stage, state, entry, fmaps, True, par.union_ppf)
+    )
+
+    # ---- int8 PTQ detector at the best pairing (stretch; non-headline) ----
+    # Scale VALUES don't affect speed, so the bench skips the record-mode
+    # calibration pass (saves two slow remote compiles) and fills unit
+    # scales; the CLI path calibrates for real (quantize_detector_int8).
+    def unit_scales(det8, det_vars):
+        qshapes = jax.eval_shape(
+            det8.clone(quant="record").init, rng,
+            jnp.zeros((1, H, W, 3), jnp.float32), par.im_hw)
+        v = dict(det_vars)
+        v["quant"] = jax.tree.map(
+            lambda s: jnp.ones(s.shape, s.dtype), qshapes["quant"])
+        return v
+
     try:
-        dt_e2e_int8 = _time_window(e2e_pair_int8, sync, 5) / 2  # per video
+        q = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16,
+                   quant_vars=lambda m, v: unit_scales(m, v))
+        dt_int8_p4 = _time_window(make_pair(q.frontend, 4, q.union_ppf), 4) / 4
     except Exception as exc:  # the int8 probe must never cost the headline
         import sys
 
         print(f"int8 probe failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
-        dt_e2e_int8 = None
+        dt_int8_p4 = None
 
-    fps_e2e = FRAMES / dt_e2e
-    fps_pair = FRAMES / dt_e2e_pair
-    # headline = best CLI-reachable serving config (--pair_detect 2 when it
-    # wins, the default single-video path otherwise)
-    fps_best = max(fps_e2e, fps_pair)
-    fps_device = FRAMES / (dt_detect + dt_rel)
+    # ---- round-2/3 reduced-proposal config (continuity; bench-shaped) ----
+    try:
+        red = Config(holder, pre_nms=1000, post_nms=128, dets_per_frame=8)
+        e_r, fm_r = red.frontend(video0, red.im_hw, 1.0, is_train=False)
+        state_r = create_train_state(
+            Tempura(cfg), cfg, e_r, rng, make_optimizer(steps_per_epoch=1))
+
+        def reduced_pair2():
+            e_b, bf_b, _ = red.frontend.eval_pair_batched(vids[:2])
+            _, out_b, _ = sgdet_fused_pair_stage(
+                state_r, e_b, bf_b, True, red.union_ppf)
+            return out_b["contacting_distribution"]
+
+        dt_red_p2 = _time_window(reduced_pair2, 5) / 2
+    except Exception as exc:
+        import sys
+
+        print(f"reduced-config probe failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        dt_red_p2 = None
+
+    fps_single = FRAMES / dt_single
+    fps_pair2 = FRAMES / dt_pair2
+    fps_pair4 = FRAMES / dt_pair4
+    fps_best = max(fps_single, fps_pair2, fps_pair4)
     mfu = (
         flops_video * fps_best / FRAMES / V5E_BF16_PEAK
         if flops_video else None
@@ -223,25 +238,33 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sgdet_frames_per_sec_per_chip",
+                "metric": "sgdet_frames_per_sec_per_chip_parity_config",
                 "value": round(fps_best, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps_best / BASELINE_FPS_ESTIMATE, 2),
-                "e2e_fps_single": round(fps_e2e, 2),
-                "e2e_fps_pair_detect2": round(fps_pair, 2),
-                # --int8 serving (PTQ detector); reported alongside, not as
-                # the headline: quantization changes numerics and the
-                # accuracy gate needs the real AG checkpoint to score
-                "e2e_fps_pair_int8": (
-                    round(FRAMES / dt_e2e_int8, 2) if dt_e2e_int8 else None
+                # parity config = serving CLI defaults (RPN 6000/300,
+                # 16 dets/frame, 16-frame bucket); headline = best of the
+                # CLI-reachable modes below
+                "e2e_fps_single": round(fps_single, 2),
+                "e2e_fps_pair_detect2": round(fps_pair2, 2),
+                "e2e_fps_pair_detect4": round(fps_pair4, 2),
+                # --int8 serving (PTQ detector) at group 4; reported
+                # alongside, not as the headline: quantization changes
+                # numerics and the accuracy gate needs the real checkpoint
+                "e2e_fps_pair4_int8": (
+                    round(FRAMES / dt_int8_p4, 2) if dt_int8_p4 else None
                 ),
-                "device_only_fps": round(fps_device, 2),
+                # rounds 2-3 measured RPN 1000/128 + 8 dets/frame; kept for
+                # continuity (128 post-NMS ~= the reference's 100-roi test
+                # load, object_detector.py:85-94) but bench-shaped
+                "e2e_fps_pair2_reduced_128": (
+                    round(FRAMES / dt_red_p2, 2) if dt_red_p2 else None
+                ),
+                "device_only_fps": round(FRAMES / (dt_detect + dt_rel), 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),
-                "detect_ms_per_video_batch2": round(dt_detect_b2 * 1e3, 1),
                 "relation_ms_per_video": round(dt_rel * 1e3, 1),
-                "relation_ms_per_video_pair2": round(dt_rel_p2 * 1e3, 1),
                 "host_overhead_ms_per_video": round(
-                    (dt_e2e - dt_detect - dt_rel) * 1e3, 1
+                    (dt_single - dt_detect - dt_rel) * 1e3, 1
                 ),
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "analytic_tflops_per_video": round(flops_video / 1e12, 3),

@@ -73,25 +73,13 @@ def _apply_converted(state, variables):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    torch_ckpt = out = None
-    name = "converted"
-    which = "tempura"
-    drop_memory = "--drop_memory" in argv
-    if drop_memory:
-        argv.remove("--drop_memory")
-    for flag in ("--torch_ckpt", "--out", "--name", "--model"):
-        if flag in argv:
-            i = argv.index(flag)
-            val = argv[i + 1]
-            del argv[i : i + 2]
-            if flag == "--torch_ckpt":
-                torch_ckpt = val
-            elif flag == "--out":
-                out = val
-            elif flag == "--model":
-                which = val
-            else:
-                name = val
+    from vidsgg.cli.flags import take_flag, take_switch
+
+    drop_memory = take_switch(argv, "--drop_memory")
+    torch_ckpt = take_flag(argv, "--torch_ckpt")
+    out = take_flag(argv, "--out")
+    name = take_flag(argv, "--name", str, "converted")
+    which = take_flag(argv, "--model", str, "tempura")
     if not torch_ckpt or not out:
         raise SystemExit("usage: convert_checkpoint [--model tempura|teatgt] "
                          "--torch_ckpt X.tar --out DIR [--name converted] "

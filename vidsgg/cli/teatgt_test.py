@@ -28,26 +28,14 @@ class _MemCfg:
 
 
 def main(argv=None):
+    from vidsgg.cli.flags import take_flag
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic, max_videos, ckpt, profile_dir = 0, None, None, None
-    ckpt_name = "best_recall"
-    for flag, cast in (("--synthetic", int), ("--max_videos", int),
-                       ("--ckpt", str), ("--ckpt_name", str),
-                       ("--profile", str)):
-        if flag in argv:
-            i = argv.index(flag)
-            val = cast(argv[i + 1])
-            del argv[i : i + 2]
-            if flag == "--synthetic":
-                synthetic = val
-            elif flag == "--max_videos":
-                max_videos = val
-            elif flag == "--ckpt_name":
-                ckpt_name = val
-            elif flag == "--profile":
-                profile_dir = val
-            else:
-                ckpt = val
+    synthetic = take_flag(argv, "--synthetic", int, 0)
+    max_videos = take_flag(argv, "--max_videos", int)
+    ckpt = take_flag(argv, "--ckpt")
+    ckpt_name = take_flag(argv, "--ckpt_name", str, "best_recall")
+    profile_dir = take_flag(argv, "--profile")
     cfg = TeatGTRunConfig.from_args(argv)
     if max_videos is not None and cfg.pair_detect > 1:
         # pairing reorders and advances in group steps; exact first-N

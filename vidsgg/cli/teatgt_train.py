@@ -26,18 +26,29 @@ class _MemCfg:
 
 
 def main(argv=None):
+    import os
+
+    from vidsgg.cli.flags import take_flag
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic, profile_dir = 0, None
-    if "--synthetic" in argv:
-        i = argv.index("--synthetic")
-        synthetic = int(argv[i + 1])
-        del argv[i : i + 2]
-    if "--profile" in argv:
-        i = argv.index("--profile")
-        profile_dir = argv[i + 1]
-        del argv[i : i + 2]
+    synthetic = take_flag(argv, "--synthetic", int, 0)
+    profile_dir = take_flag(argv, "--profile")
+    word_vectors = take_flag(argv, "--word_vectors")
+    if word_vectors:  # models resolve the asset through the env var
+        os.environ["VIDSGG_WORD_VECTORS"] = word_vectors
     cfg = TeatGTRunConfig.from_args(argv)
     print(f">>> TEAT-GT train: mode={cfg.mode} synthetic={synthetic or 'off'}")
+
+    from vidsgg.models.embeddings import word_vectors_available
+
+    wv_ok, wv_path = word_vectors_available()
+    if wv_ok:
+        print(f"word vectors: {wv_path}")
+    else:
+        print("WARNING: no GloVe word-vector asset (--word_vectors / "
+              "VIDSGG_WORD_VECTORS unset); label-embedding tables "
+              "pseudo-init — from-scratch training differs from the "
+              "reference's glove.6B.200d init")
 
     cap = EntryCapacity(max_frames=16, max_objs=48, max_pairs=32)
     clips = ClipCaps(clip_size=5, n_clips=4, tokens_per_clip=32,

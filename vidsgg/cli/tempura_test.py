@@ -29,29 +29,15 @@ from vidsgg.train.eval_pipeline import EvalPipeline
 
 
 def main(argv=None):
+    from vidsgg.cli.flags import take_flag, take_switch
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    synthetic, max_videos, ckpt, profile_dir = 0, None, None, None
-    ckpt_name = "best_recall"
-    bf16 = "--bf16" in argv
-    if bf16:
-        argv.remove("--bf16")
-    for flag, cast in (("--synthetic", int), ("--max_videos", int),
-                       ("--ckpt", str), ("--ckpt_name", str),
-                       ("--profile", str)):
-        if flag in argv:
-            i = argv.index(flag)
-            val = cast(argv[i + 1])
-            del argv[i : i + 2]
-            if flag == "--synthetic":
-                synthetic = val
-            elif flag == "--max_videos":
-                max_videos = val
-            elif flag == "--ckpt_name":
-                ckpt_name = val
-            elif flag == "--profile":
-                profile_dir = val
-            else:
-                ckpt = val
+    bf16 = take_switch(argv, "--bf16")
+    synthetic = take_flag(argv, "--synthetic", int, 0)
+    max_videos = take_flag(argv, "--max_videos", int)
+    ckpt = take_flag(argv, "--ckpt")
+    ckpt_name = take_flag(argv, "--ckpt_name", str, "best_recall")
+    profile_dir = take_flag(argv, "--profile")
     cfg = TempuraRunConfig.from_args(argv)
     if max_videos is not None and cfg.pair_detect > 1:
         # pairing reorders videos (groups flush when filled) and advances

@@ -99,13 +99,10 @@ def make_eval_step(model):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    from vidsgg.cli.flags import take_flag
+
     def flag(name, default, cast):
-        if name in argv:
-            i = argv.index(name)
-            v = cast(argv[i + 1])
-            del argv[i : i + 2]
-            return v
-        return default
+        return take_flag(argv, name, cast, default)
 
     synthetic = flag("--synthetic", 0, int)
     data_path = flag("--data_path", "", str)

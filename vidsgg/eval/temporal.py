@@ -80,6 +80,21 @@ def evaluate_temporal_consistency(pred, mode, window=6):
     # the reference indexes pred_labels over *boxes* and filters !=1 (person);
     # in pair order this is exactly the object of each pair
     obj_cls = pred_labels[pred_labels != 1]
+    # Guard the load-bearing layout assumption: the i-th non-person box must
+    # be the object of the i-th pair (person-first frame-major box order —
+    # what the reference's direct box indexing relies on,
+    # temporal_consistency.py:33-38). A permuted box list would silently
+    # mis-align the GT sequences. Unequal lengths are NOT an error: an
+    # object box classified as person shortens obj_cls, and the reference
+    # then zip-truncates — reproduced by find_consecutive_duplicates.
+    obj_from_pairs = pred_labels[pair_idx[:, 1]]
+    if obj_cls.shape == obj_from_pairs.shape and not np.array_equal(
+            obj_cls, obj_from_pairs):
+        raise ValueError(
+            "pred box order violates the person-first frame-major layout "
+            "the temporal-consistency metric assumes (i-th non-person box "
+            "!= object of i-th pair); fix the entry builder rather than "
+            "scoring silently mis-aligned sequences")
 
     s_scores, c_scores = [], []
     for cls in np.unique(obj_cls):

@@ -42,6 +42,16 @@ def _lookup(table: dict, name: str):
     return table.get(lw)
 
 
+def word_vectors_available(wv_path: str | None = None):
+    """(available, resolved_path) for the GloVe ``.npz`` asset.
+
+    The train CLIs call this to warn loudly when label-embedding tables
+    will pseudo-init (the reference's from-scratch init differs in that
+    case; tools/utils/word_vectors.py:15-35)."""
+    path = wv_path or os.environ.get("VIDSGG_WORD_VECTORS", "")
+    return bool(path and os.path.exists(path)), (path or None)
+
+
 def obj_edge_vectors(names, wv_dim: int = WV_DIM, wv_path: str | None = None) -> np.ndarray:
     """[len(names), wv_dim] embedding table with the reference's fallbacks."""
     table = {}
