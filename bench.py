@@ -170,17 +170,39 @@ def main():
         _, out, _ = sgdet_fused_stage(state, entry, fmaps, True, par.union_ppf)
         return out["contacting_distribution"]
 
+    def probe(fn, iters, group, label):
+        """Pairing probes can exhaust HBM at the full parity config (the
+        detect stage holds group x 16 frames of 6000-proposal state); a
+        failed probe is skipped, never fatal — bench always prints its
+        JSON line."""
+        try:
+            return _time_window(fn, iters) / group
+        except Exception as exc:
+            import gc
+            import sys
+
+            print(f"{label} probe failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            # an OOM leaves HBM reserved by the failed executable; drop the
+            # jit caches so later probes/conversions get the memory back
+            jax.clear_caches()
+            gc.collect()
+            return None
+
     dt_detect = _time_window(detect_only, 8)
     dt_rel = _time_window(relation_only, 8)
     dt_single = _time_window(e2e_single, 6)
-    dt_pair2 = _time_window(make_pair(par.frontend, 2, par.union_ppf), 5) / 2
-    dt_pair4 = _time_window(make_pair(par.frontend, 4, par.union_ppf), 4) / 4
+    dt_pair2 = probe(make_pair(par.frontend, 2, par.union_ppf), 5, 2, "pair2")
 
     flops_video = (
         _flops(par.frontend.detect, par.det_vars, video0, par.im_hw,
                jnp.asarray(1.0))
         + _flops(sgdet_fused_stage, state, entry, fmaps, True, par.union_ppf)
     )
+    # group-4 detection holds 64 frames of 6000-proposal state and can OOM
+    # the chip at the full parity config — run it AFTER every measurement
+    # that must stay clean
+    dt_pair4 = probe(make_pair(par.frontend, 4, par.union_ppf), 4, 4, "pair4")
 
     # ---- int8 PTQ detector at the best pairing (stretch; non-headline) ----
     # Scale VALUES don't affect speed, so the bench skips the record-mode
@@ -198,13 +220,16 @@ def main():
     try:
         q = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16,
                    quant_vars=lambda m, v: unit_scales(m, v))
-        dt_int8_p4 = _time_window(make_pair(q.frontend, 4, q.union_ppf), 4) / 4
+        dt_int8_p2 = probe(make_pair(q.frontend, 2, q.union_ppf), 5, 2,
+                           "int8-pair2")
+        dt_int8_p4 = probe(make_pair(q.frontend, 4, q.union_ppf), 4, 4,
+                           "int8-pair4")
     except Exception as exc:  # the int8 probe must never cost the headline
         import sys
 
         print(f"int8 probe failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
-        dt_int8_p4 = None
+        dt_int8_p4 = dt_int8_p2 = None
 
     # ---- round-2/3 reduced-proposal config (continuity; bench-shaped) ----
     try:
@@ -219,7 +244,7 @@ def main():
                 state_r, e_b, bf_b, True, red.union_ppf)
             return out_b["contacting_distribution"]
 
-        dt_red_p2 = _time_window(reduced_pair2, 5) / 2
+        dt_red_p2 = probe(reduced_pair2, 5, 2, "reduced-pair2")
     except Exception as exc:
         import sys
 
@@ -228,9 +253,9 @@ def main():
         dt_red_p2 = None
 
     fps_single = FRAMES / dt_single
-    fps_pair2 = FRAMES / dt_pair2
-    fps_pair4 = FRAMES / dt_pair4
-    fps_best = max(fps_single, fps_pair2, fps_pair4)
+    fps_pair2 = FRAMES / dt_pair2 if dt_pair2 else None
+    fps_pair4 = FRAMES / dt_pair4 if dt_pair4 else None
+    fps_best = max(f for f in (fps_single, fps_pair2, fps_pair4) if f)
     mfu = (
         flops_video * fps_best / FRAMES / V5E_BF16_PEAK
         if flops_video else None
@@ -246,13 +271,20 @@ def main():
                 # 16 dets/frame, 16-frame bucket); headline = best of the
                 # CLI-reachable modes below
                 "e2e_fps_single": round(fps_single, 2),
-                "e2e_fps_pair_detect2": round(fps_pair2, 2),
-                "e2e_fps_pair_detect4": round(fps_pair4, 2),
-                # --int8 serving (PTQ detector) at group 4; reported
+                "e2e_fps_pair_detect2": (
+                    round(fps_pair2, 2) if fps_pair2 else None
+                ),
+                "e2e_fps_pair_detect4": (
+                    round(fps_pair4, 2) if fps_pair4 else None
+                ),
+                # --int8 serving (PTQ detector) pairing probes; reported
                 # alongside, not as the headline: quantization changes
                 # numerics and the accuracy gate needs the real checkpoint
                 "e2e_fps_pair4_int8": (
                     round(FRAMES / dt_int8_p4, 2) if dt_int8_p4 else None
+                ),
+                "e2e_fps_pair2_int8": (
+                    round(FRAMES / dt_int8_p2, 2) if dt_int8_p2 else None
                 ),
                 # rounds 2-3 measured RPN 1000/128 + 8 dets/frame; kept for
                 # continuity (128 post-NMS ~= the reference's 100-roi test

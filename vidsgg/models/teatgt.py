@@ -183,10 +183,13 @@ class TeatGT(nn.Module):
         cframe = jnp.where(cmask, cframe, 0)
         ccenter = layout.token_center[ct]
 
-        # spatial threshold: 0.5 x video diagonal (:174-175)
+        # spatial threshold: 0.5 x video diagonal, rounded to 4 decimals like
+        # the reference's np.round(..., 4) (:174-175) — a boundary-distance
+        # pair can flip its edge on the unrounded threshold
         diag = jnp.sqrt((entry.video_size**2).sum())
+        thr = jnp.round(cfg.spatial_thr * diag * 1e4) / 1e4
         spatial, temporal = clip_edge_masks(
-            cframe, ccenter, cfeat, cmask, cfg.spatial_thr * diag, cfg.sim_thr
+            cframe, ccenter, cfeat, cmask, thr, cfg.sim_thr
         )
         edge_index, edge_type, edge_mask, adj = masks_to_edge_list(
             spatial, temporal, caps.edges_per_clip
@@ -271,7 +274,7 @@ class TeatGT(nn.Module):
         fmask = layout.frame_mask
         fcenter = layout.token_center[ft]
         diag = jnp.sqrt((entry.video_size**2).sum())
-        thr = cfg.spatial_thr * diag
+        thr = jnp.round(cfg.spatial_thr * diag * 1e4) / 1e4  # np.round(.,4) parity
 
         vv = fmask[:, :, None] & fmask[:, None, :]
         not_self = ~jnp.eye(caps.tokens_per_frame, dtype=bool)[None]
