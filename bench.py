@@ -199,11 +199,6 @@ def main():
                jnp.asarray(1.0))
         + _flops(sgdet_fused_stage, state, entry, fmaps, True, par.union_ppf)
     )
-    # group-4 detection holds 64 frames of 6000-proposal state and can OOM
-    # the chip at the full parity config — run it AFTER every measurement
-    # that must stay clean
-    dt_pair4 = probe(make_pair(par.frontend, 4, par.union_ppf), 4, 4, "pair4")
-
     # ---- int8 PTQ detector at the best pairing (stretch; non-headline) ----
     # Scale VALUES don't affect speed, so the bench skips the record-mode
     # calibration pass (saves two slow remote compiles) and fills unit
@@ -222,14 +217,12 @@ def main():
                    quant_vars=lambda m, v: unit_scales(m, v))
         dt_int8_p2 = probe(make_pair(q.frontend, 2, q.union_ppf), 5, 2,
                            "int8-pair2")
-        dt_int8_p4 = probe(make_pair(q.frontend, 4, q.union_ppf), 4, 4,
-                           "int8-pair4")
     except Exception as exc:  # the int8 probe must never cost the headline
         import sys
 
         print(f"int8 probe failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
-        dt_int8_p4 = dt_int8_p2 = None
+        dt_int8_p2 = None
 
     # ---- round-2/3 reduced-proposal config (continuity; bench-shaped) ----
     try:
@@ -251,6 +244,17 @@ def main():
         print(f"reduced-config probe failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         dt_red_p2 = None
+
+    # ---- group-4 probes LAST: 64 frames of 6000-proposal detect state can
+    # OOM the chip, and under the axon tunnel a single OOM leaves the
+    # backend unable to allocate for the rest of the process (measured
+    # r4: every probe after the first pair4 OOM also failed). Nothing that
+    # must succeed runs after these.
+    dt_pair4 = probe(make_pair(par.frontend, 4, par.union_ppf), 4, 4, "pair4")
+    dt_int8_p4 = (
+        probe(make_pair(q.frontend, 4, q.union_ppf), 4, 4, "int8-pair4")
+        if dt_int8_p2 else None
+    )
 
     fps_single = FRAMES / dt_single
     fps_pair2 = FRAMES / dt_pair2 if dt_pair2 else None

@@ -357,3 +357,283 @@ def test_ospu_sgcls_tracking_matches_reference(mem, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["distribution"])[:n],
         out_ref["distribution"].numpy(), atol=1e-8, rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# sgdet test-time postprocess (clean_class + per-class NMS + relabel + pair
+# rebuild) vs the reference's own ObjectClassifier sgdet branch
+# (lib/tempura.py:323-423)
+# ---------------------------------------------------------------------------
+
+def _torch_greedy_nms(boxes, scores, thresh):
+    """The vendored jwyang roi_layers.nms binary is absent from the
+    checkout; this supplies its documented semantics (greedy, score order,
+    inclusive +1 IoU of the Cython/CUDA lineage, strict > suppression) so
+    the reference's surrounding Python logic runs verbatim. Our device NMS
+    implements the same convention (postprocess_device._pairwise_iou)."""
+    n = boxes.shape[0]
+    area = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    keep, sup = [], torch.zeros(n, dtype=torch.bool)
+    for i in range(n):
+        if sup[i]:
+            continue
+        keep.append(i)
+        iw = (torch.minimum(boxes[i, 2], boxes[i + 1:, 2])
+              - torch.maximum(boxes[i, 0], boxes[i + 1:, 0]) + 1).clamp(min=0)
+        ih = (torch.minimum(boxes[i, 3], boxes[i + 1:, 3])
+              - torch.maximum(boxes[i, 1], boxes[i + 1:, 1]) + 1).clamp(min=0)
+        inter = iw * ih
+        iou = inter / (area[i] + area[i + 1:] - inter)
+        sup[i + 1:] |= iou > thresh
+    return torch.tensor(keep, dtype=torch.long)
+
+
+def test_sgdet_postprocess_matches_reference(monkeypatch):
+    """Full sgdet test path: OSPU classify (tracking encoder + GMM test
+    decode) -> clean_class(5, 8, 17) -> per-argmax-class NMS@0.6 -> final
+    (frame, class, score) ordering -> relabel (+2 over cols 1:) -> HUMAN_IDX
+    -> pair/im_idx rebuild. The reference's loop code runs verbatim (NMS
+    supplied, ROIAlign/draw_union_boxes return placeholder zeros — the
+    union-feature stage is recomputed downstream by our fused eval stage and
+    gated by its own oracle tests)."""
+    import lib.tempura as ref_mod
+    from tools.utils.ds_track import get_sequence
+
+    from vidsgg.models.convert_relation import consume_object_classifier
+    from vidsgg.models.ospu import ObjectClassifier
+    from vidsgg.models.postprocess_device import sgdet_postprocess_device
+
+    monkeypatch.setattr(ref_mod, "center_size", _torch_center_size)
+    monkeypatch.setattr(ref_mod, "nms", _torch_greedy_nms)
+    monkeypatch.setattr(
+        ref_mod, "draw_union_boxes",
+        lambda pair_rois, s: np.zeros((len(pair_rois), 2, s, s)))
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+    torch.manual_seed(23)
+    ref_mod.obj_edge_vectors = lambda names, **kw: torch.randn(
+        len(names), 200)
+    names = list(C.AG_OBJECT_CLASSES)
+    k = 2
+    oc_ref = ref_mod.ObjectClassifier(
+        mode="sgdet", obj_head="gmm", K=k, obj_classes=names,
+        mem_compute=False, selection=None, selection_lambda=0.5,
+        tracking=True,
+    ).double().eval()
+    oc_ref.RCNN_roi_align = lambda fmaps, rois: torch.zeros(
+        rois.shape[0], 1024, 7, 7, dtype=torch.float64)
+    with torch.no_grad():
+        for prm in oc_ref.parameters():
+            prm.add_(0.1 * torch.randn_like(prm))
+
+    # detector-style input: 4 frames x 4 boxes, heavy same-class overlap so
+    # clean_class duplication AND NMS suppression both fire
+    f, per, n = 4, 4, 16
+    rng = np.random.default_rng(31)
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=64)
+    ann = synthetic_video_annotation(num_frames=f, objs_per_frame=per - 1,
+                                     seed=31)
+    entry = build_gt_entry(ann, cap)
+    # overwrite with detector-shaped fields
+    boxes = np.zeros((cap.max_objs, 5))
+    base = rng.uniform(50, 400, (f, 2))
+    for i in range(n):
+        fr, sl = divmod(i, per)
+        # slots 1-2 nearly coincide -> NMS suppression when same class
+        jitter = {0: 0, 1: 3.0, 2: 6.0, 3: 150.0}[sl]
+        x, y = base[fr] + jitter
+        boxes[i] = [fr, x, y, x + rng.uniform(60, 120), y + rng.uniform(60, 120)]
+    logits = rng.standard_normal((cap.max_objs, 36)) * 2.0
+    logits[0::per, 0] += 6.0              # slot 0: confident person
+    logits[1::per, 4] += 5.0              # slots 1-2: class 5 dupes (clean +
+    logits[2::per, 4] += 4.0              #   same-class NMS pressure)
+    logits[3::per, 16] += 5.0             # slot 3: class 17 (clean_class)
+    dist = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    det_labels = dist.argmax(1) + 1
+    feats = rng.standard_normal((cap.max_objs, 2048))
+    entry = entry.replace(
+        boxes=jnp.asarray(boxes),
+        features=jnp.asarray(feats),
+        distribution=jnp.asarray(dist),
+        pred_labels=jnp.asarray(det_labels.astype(np.int32)),
+        scores=jnp.asarray(dist.max(1)),
+        obj_mask=jnp.ones(cap.max_objs, bool),
+        labels=jnp.asarray(det_labels.astype(np.int32)),
+    )
+
+    tentry = {
+        "boxes": torch.from_numpy(boxes),
+        "labels": torch.from_numpy(det_labels),
+        "features": torch.from_numpy(feats),
+        "distribution": torch.from_numpy(dist),
+        "pred_labels": torch.from_numpy(det_labels),
+        "scores": torch.from_numpy(dist.max(1)),
+        "im_info": torch.tensor(1.0, dtype=torch.float64),
+        "fmaps": torch.zeros(f, 1024, 38, 63, dtype=torch.float64),
+        "im_idx": torch.zeros(0, dtype=torch.float64),
+        "pair_idx": torch.zeros(0, 2, dtype=torch.long),
+    }
+    get_sequence(tentry, None, None, "sgdet")
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = oc_ref(dict(tentry), phase="test", unc=False)
+    finally:
+        torch.set_default_dtype(old)
+
+    sd = {f"object_classifier.{k_}": v.numpy()
+          for k_, v in oc_ref.state_dict().items()}
+    params, stats, consumed = {}, {}, set()
+    consume_object_classifier(sd, params, stats, consumed, tracking=True,
+                              obj_mem_compute=False, obj_head="gmm", k=k,
+                              max_pe_len=600)
+
+    oc = ObjectClassifier(mode="sgdet", obj_head="gmm", k=k,
+                          mem_compute=False, selection=None, tracking=True,
+                          max_pe_len=600)
+    out = oc.apply(
+        {"params": params["object_classifier"],
+         "batch_stats": stats.get("object_classifier", {})},
+        entry, phase="test", unc=False, deterministic=True,
+    )
+    entry2, mem2, overflow = sgdet_postprocess_device(
+        entry, out["distribution"], out["object_mem_features"])
+    assert not bool(overflow)
+
+    valid = np.asarray(entry2.obj_mask)
+    nv = int(valid.sum())
+    assert nv == out_ref["boxes"].shape[0]
+    np.testing.assert_allclose(
+        np.asarray(entry2.boxes)[valid], out_ref["boxes"].numpy(),
+        atol=1e-8, rtol=1e-8, err_msg="boxes")
+    np.testing.assert_allclose(
+        np.asarray(entry2.distribution)[valid],
+        out_ref["distribution"].numpy(), atol=1e-8, rtol=1e-8,
+        err_msg="distribution")
+    np.testing.assert_array_equal(
+        np.asarray(entry2.pred_labels)[valid],
+        out_ref["pred_labels"].numpy(), err_msg="pred_labels")
+    np.testing.assert_allclose(
+        np.asarray(entry2.scores)[valid], out_ref["pred_scores"].numpy(),
+        atol=1e-8, rtol=1e-8, err_msg="pred_scores")
+    np.testing.assert_allclose(
+        np.asarray(entry2.features)[valid], out_ref["features"].numpy(),
+        atol=1e-8, rtol=1e-8, err_msg="features")
+    np.testing.assert_allclose(
+        np.asarray(mem2)[valid], out_ref["object_mem_features"].numpy(),
+        atol=1e-8, rtol=1e-8, err_msg="object_mem_features")
+
+    pm = np.asarray(entry2.pair_mask)
+    np.testing.assert_array_equal(
+        np.asarray(entry2.pair_idx)[pm], out_ref["pair_idx"].numpy(),
+        err_msg="pair_idx")
+    np.testing.assert_array_equal(
+        np.asarray(entry2.im_idx)[pm],
+        out_ref["im_idx"].numpy().astype(np.int64), err_msg="im_idx")
+    np.testing.assert_array_equal(
+        np.asarray(entry2.human_idx)[: out_ref["human_idx"].shape[0]],
+        out_ref["human_idx"].numpy().reshape(-1), err_msg="human_idx")
+
+
+def test_sgcls_postprocess_matches_reference(monkeypatch):
+    """sgcls test path (lib/tempura.py:249-320): classify -> relabel (+2
+    over cols 1:) -> per-frame HUMAN_IDX -> modal duplicate-class
+    suppression (zero the column, take the runner-up, keep the best-scoring
+    duplicate) -> pair/im_idx rebuild. Reference loop code runs verbatim;
+    ROIAlign/draw_union_boxes return placeholder zeros (unions are
+    recomputed downstream here)."""
+    import lib.tempura as ref_mod
+    from tools.utils.ds_track import get_sequence
+
+    from vidsgg.models.convert_relation import consume_object_classifier
+    from vidsgg.models.ospu import ObjectClassifier
+    from vidsgg.models.postprocess_device import sgcls_postprocess_device
+
+    monkeypatch.setattr(ref_mod, "center_size", _torch_center_size)
+    monkeypatch.setattr(
+        ref_mod, "draw_union_boxes",
+        lambda pair_rois, s: np.zeros((len(pair_rois), 2, s, s)))
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+
+    torch.manual_seed(29)
+    ref_mod.obj_edge_vectors = lambda names, **kw: torch.randn(
+        len(names), 200)
+    names = list(C.AG_OBJECT_CLASSES)
+    k = 2
+    oc_ref = ref_mod.ObjectClassifier(
+        mode="sgcls", obj_head="gmm", K=k, obj_classes=names,
+        mem_compute=False, selection=None, selection_lambda=0.5,
+        tracking=True,
+    ).double().eval()
+    oc_ref.RCNN_roi_align = lambda fmaps, rois: torch.zeros(
+        rois.shape[0], 1024, 7, 7, dtype=torch.float64)
+    with torch.no_grad():
+        for prm in oc_ref.parameters():
+            prm.add_(0.1 * torch.randn_like(prm))
+
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=24)
+    entry, n, p = _make_entry(cap, seed=17)
+    rng = np.random.default_rng(41)
+    # bias several boxes per frame toward the SAME class so the modal
+    # duplicate-suppression loop (:277-290) actually fires
+    logits = rng.standard_normal((cap.max_objs, 36))
+    logits[:n, 7] += 3.0
+    dist = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    dist[n:] = 0.0
+    entry = entry.replace(distribution=jnp.asarray(dist))
+
+    tentry = _torch_entry(entry, n, p)
+    tentry["distribution"] = torch.from_numpy(dist[:n])
+    tentry["im_info"] = torch.tensor(1.0, dtype=torch.float64)
+    nf = int(np.asarray(entry.boxes[:n, 0]).max()) + 1
+    tentry["fmaps"] = torch.zeros(nf, 1024, 38, 63, dtype=torch.float64)
+    get_sequence(tentry, None, None, "sgcls")
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = oc_ref(dict(tentry), phase="test", unc=False)
+    finally:
+        torch.set_default_dtype(old)
+
+    sd = {f"object_classifier.{k_}": v.numpy()
+          for k_, v in oc_ref.state_dict().items()}
+    params, stats, consumed = {}, {}, set()
+    consume_object_classifier(sd, params, stats, consumed, tracking=True,
+                              obj_mem_compute=False, obj_head="gmm", k=k,
+                              max_pe_len=400)
+
+    oc = ObjectClassifier(mode="sgcls", obj_head="gmm", k=k,
+                          mem_compute=False, selection=None, tracking=True,
+                          max_pe_len=400)
+    out = oc.apply(
+        {"params": params["object_classifier"],
+         "batch_stats": stats.get("object_classifier", {})},
+        entry, phase="test", unc=False, deterministic=True,
+    )
+    entry2 = sgcls_postprocess_device(entry, out["distribution"])
+
+    valid = np.asarray(entry2.obj_mask)
+    np.testing.assert_allclose(
+        np.asarray(entry2.distribution)[valid][:n],
+        out_ref["distribution"].numpy(), atol=1e-8, rtol=1e-8,
+        err_msg="distribution")
+    np.testing.assert_array_equal(
+        np.asarray(entry2.pred_labels)[valid][:n],
+        out_ref["pred_labels"].numpy(), err_msg="pred_labels")
+    np.testing.assert_allclose(
+        np.asarray(entry2.scores)[valid][:n],
+        out_ref["pred_scores"].numpy(), atol=1e-8, rtol=1e-8,
+        err_msg="pred_scores")
+    pm = np.asarray(entry2.pair_mask)
+    np.testing.assert_array_equal(
+        np.asarray(entry2.pair_idx)[pm], out_ref["pair_idx"].numpy(),
+        err_msg="pair_idx")
+    np.testing.assert_array_equal(
+        np.asarray(entry2.im_idx)[pm],
+        out_ref["im_idx"].numpy().astype(np.int64), err_msg="im_idx")
