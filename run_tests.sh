@@ -12,6 +12,7 @@ set -u -o pipefail
 
 FAST_MODULES="
 tests/test_evaluator.py
+tests/test_reference_oracle_evaluator.py
 tests/test_temporal_metric.py
 tests/test_ops_boxes.py
 tests/test_nms.py

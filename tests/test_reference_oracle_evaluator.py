@@ -1,0 +1,220 @@
+"""Torch-oracle parity for THE metric: the reference's own
+``BasicSceneGraphEvaluator`` (tools/utils/evaluation_recall.py) vs our
+``SceneGraphEvaluator`` on identical (gt, pred) inputs.
+
+Both evaluators consume the same AG annotation structure and prediction
+dict, so no converter is involved — the gate is that every R@K list entry,
+every per-predicate hit/count, and the mR@K summaries agree exactly across
+all three constraint settings and both mode families (predcls, sgcls), on
+imperfect predictions that exercise matching, the semi threshold (0.9), and
+multi-label spatial/contacting GT.
+
+Stubbed imports (the reference's metric logic itself runs verbatim):
+
+* ``h5py`` / ``dill`` — imported by tools/utils/pytorch_misc.py at module
+  scope, untouched by intersect_2d/argsort_desc;
+* ``tools.utils.fpn.box_intersections_cpu.bbox.bbox_overlaps`` — the
+  vendored Cython kernel is absent from the checkout; the stub supplies the
+  jwyang lineage formula verbatim (inclusive +1 widths — the same
+  convention our evaluator re-derives at eval/evaluator.py:53-73).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+torch = pytest.importorskip("torch")
+
+
+def _stub(name, **attrs):
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _bbox_overlaps_pyx(boxes, query_boxes):
+    """tools/utils/fpn/box_intersections_cpu/bbox.pyx semantics: [N, K]
+    IoU with inclusive (+1) widths, 0 where no positive overlap."""
+    boxes = np.asarray(boxes, np.float64)
+    query = np.asarray(query_boxes, np.float64)
+    iw = (np.minimum(boxes[:, None, 2], query[None, :, 2])
+          - np.maximum(boxes[:, None, 0], query[None, :, 0]) + 1)
+    ih = (np.minimum(boxes[:, None, 3], query[None, :, 3])
+          - np.maximum(boxes[:, None, 1], query[None, :, 1]) + 1)
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    area_b = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    area_q = (query[:, 2] - query[:, 0] + 1) * (query[:, 3] - query[:, 1] + 1)
+    return inter / (area_b[:, None] + area_q[None, :] - inter)
+
+
+_stub("h5py")
+_stub("dill")
+for _name in ("tools.utils.fpn", "tools.utils.fpn.box_intersections_cpu"):
+    _stub(_name)
+_stub("tools.utils.fpn.box_intersections_cpu.bbox",
+      bbox_overlaps=_bbox_overlaps_pyx)
+# funcs.py / box_utils are untouched by the evaluator but pulled in by the
+# package __init__ chain on some import orders
+_stub("tools.utils.fpn.box_utils", bbox_overlaps=_bbox_overlaps_pyx)
+
+from vidsgg import constants as C  # noqa: E402
+from vidsgg.eval.evaluator import SceneGraphEvaluator  # noqa: E402
+
+KS = (10, 20, 50, 100)
+
+
+def _make_gt(rng, num_frames=4, objs_per_frame=3):
+    """AG-format annotation: person + objects per frame, multi-label
+    spatial/contacting (torch tensors like the reference dataloader)."""
+    gt = []
+    for f in range(num_frames):
+        px, py = rng.uniform(50, 300, 2)
+        frame = [{
+            "person_bbox": np.array([[px, py, px + 120, py + 260]]),
+            "frame": f"v/{f:06d}.png",
+        }]
+        for o in range(objs_per_frame):
+            x, y = rng.uniform(30, 400, 2)
+            frame.append({
+                "bbox": np.array([x, y, x + rng.uniform(40, 150),
+                                  y + rng.uniform(40, 150)]),
+                "class": int(rng.integers(2, 37)),
+                "attention_relationship": torch.tensor(
+                    [int(rng.integers(0, 3))]),
+                "spatial_relationship": torch.tensor(
+                    sorted(rng.choice(6, rng.integers(1, 3),
+                                      replace=False).tolist())),
+                "contacting_relationship": torch.tensor(
+                    sorted(rng.choice(17, rng.integers(1, 4),
+                                      replace=False).tolist())),
+            })
+        gt.append(frame)
+    return gt
+
+
+def _make_pred(rng, gt, jitter=20.0, label_noise=0.3):
+    """Imperfect predictions over the GT boxes: jittered coordinates, some
+    wrong labels, random-but-biased distributions so with/semi/no disagree
+    and recall sits strictly between 0 and 1."""
+    boxes, labels, scores, im_idx, pair_idx = [], [], [], [], []
+    att, spa, con = [], [], []
+    base = 0
+    for f, frame in enumerate(gt):
+        nf = len(frame)
+        person = np.asarray(frame[0]["person_bbox"]).reshape(-1)
+        boxes.append([f, *(person + rng.normal(0, jitter / 4, 4))])
+        labels.append(1)
+        scores.append(rng.uniform(0.6, 1.0))
+        for m, o in enumerate(frame[1:]):
+            boxes.append([f, *(np.asarray(o["bbox"])
+                               + rng.normal(0, jitter, 4))])
+            wrong = rng.uniform() < label_noise
+            labels.append(int(rng.integers(2, 37)) if wrong else o["class"])
+            scores.append(rng.uniform(0.2, 1.0))
+            im_idx.append(f)
+            pair_idx.append([base, base + 1 + m])
+            a = rng.uniform(0.05, 1.0, 3)
+            a[int(np.asarray(o["attention_relationship"])[0])] += 1.0
+            att.append(a / a.sum())
+            s = rng.uniform(0.05, 1.0, 6)
+            s[int(np.asarray(o["spatial_relationship"])[0])] = rng.uniform(
+                0.85, 1.0)  # some entries above the 0.9 semi threshold
+            spa.append(s)
+            c = rng.uniform(0.05, 1.0, 17)
+            c[int(np.asarray(o["contacting_relationship"])[0])] = rng.uniform(
+                0.85, 1.0)
+            con.append(c)
+        base += nf
+    pred = {
+        "boxes": np.asarray(boxes, np.float64),
+        "labels": np.asarray(labels, np.int64),
+        "scores": np.asarray(scores, np.float64),
+        "im_idx": np.asarray(im_idx, np.float64),
+        "pair_idx": np.asarray(pair_idx, np.int64),
+        "attention_distribution": np.asarray(att, np.float64),
+        "spatial_distribution": np.asarray(spa, np.float64),
+        "contacting_distribution": np.asarray(con, np.float64),
+    }
+    # sgcls/sgdet read pred_labels/pred_scores while predcls reads
+    # labels/scores — make them DIFFERENT arrays so a key-selection mix-up
+    # in either evaluator shows up as a mode-dependent mismatch
+    relab = pred["labels"].copy()
+    flip = rng.uniform(size=relab.shape) < 0.2
+    relab[flip] = rng.integers(1, 37, flip.sum())
+    pred["pred_labels"] = relab
+    pred["pred_scores"] = rng.uniform(0.1, 1.0, pred["scores"].shape)
+    return pred
+
+
+def _torch_pred(pred):
+    return {k: torch.from_numpy(np.asarray(v)) for k, v in pred.items()}
+
+
+def _build_reference(mode, constraint, semithreshold):
+    from tools.utils.evaluation_recall import BasicSceneGraphEvaluator
+
+    return BasicSceneGraphEvaluator(
+        mode=mode,
+        AG_object_classes=list(C.AG_OBJECT_CLASSES),
+        AG_all_predicates=list(C.AG_RELATIONSHIP_CLASSES),
+        AG_attention_predicates=list(C.AG_ATTENTION_RELATIONSHIPS),
+        AG_spatial_predicates=list(C.AG_SPATIAL_RELATIONSHIPS),
+        AG_contacting_predicates=list(C.AG_CONTACTING_RELATIONSHIPS),
+        iou_threshold=0.5, constraint=constraint,
+        semithreshold=semithreshold, output_dir=None,
+    )
+
+
+@pytest.mark.parametrize("mode", ["predcls", "sgcls"])
+@pytest.mark.parametrize("constraint,semi", [("with", None), ("semi", 0.9),
+                                             ("no", None)])
+def test_evaluator_matches_reference(mode, constraint, semi):
+    rng = np.random.default_rng(97)
+    ours = SceneGraphEvaluator(mode, constraint=constraint,
+                               semithreshold=semi, iou_threshold=0.5)
+    ref = _build_reference(mode, constraint, semi)
+
+    for seed in range(3):  # three videos
+        vid_rng = np.random.default_rng(1000 + seed)
+        gt = _make_gt(vid_rng, num_frames=3 + seed, objs_per_frame=2 + seed % 2)
+        pred = _make_pred(vid_rng, gt)
+        ours.evaluate_scene_graph(gt, pred)
+        ref.evaluate_scene_graph(gt, _torch_pred(pred))
+
+    ref_rec = ref.result_dict[mode + "_recall"]
+    our_rec = ours.result_dict[mode + "_recall"]
+    zeros = [0] * len(C.AG_RELATIONSHIP_CLASSES)
+    for k in KS:
+        assert len(our_rec[k]) == len(ref_rec[k]), f"R@{k} list length"
+        np.testing.assert_allclose(our_rec[k], ref_rec[k], atol=1e-12,
+                                   err_msg=f"R@{k} per-frame list")
+        # reference quirk: hit/count dicts are created lazily on the first
+        # match at that k (evaluation_recall.py:253-273) — a k with zero
+        # matches leaves the key absent (and would crash the reference's
+        # own calc_mrecall); our evaluator pre-initializes to zeros
+        np.testing.assert_array_equal(
+            ours.result_dict[mode + "_recall_hit"][k],
+            ref.result_dict.get(mode + "_recall_hit", {}).get(k, zeros),
+            err_msg=f"hit@{k}")
+        np.testing.assert_array_equal(
+            ours.result_dict[mode + "_recall_count"][k],
+            ref.result_dict.get(mode + "_recall_count", {}).get(k, zeros),
+            err_msg=f"count@{k}")
+    mr_ours = ours.calc_mrecall()
+    if all(k in ref.result_dict.get(mode + "_recall_hit", {}) for k in KS):
+        mr_ref = ref.calc_mrecall()
+        for k in KS:
+            np.testing.assert_allclose(mr_ours[k], mr_ref[k], atol=1e-12,
+                                       err_msg=f"mR@{k}")
+    # sanity: the inputs actually exercise the metric
+    assert 0.0 < np.mean(our_rec[20]) < 1.0
