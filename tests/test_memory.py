@@ -60,16 +60,20 @@ def test_uncertainty_weighting_is_exp_weighted_mean():
     _, entry, out = _entry_and_out(1)
     acc = MemoryAccumulator.zeros()
     acc = accumulate_memory(acc, entry, out, "both", "simple")
-    rel_mem, _ = finalize_memory(acc)
+    rel_mem, _ = finalize_memory(acc, "both", "simple")
 
     p = int(entry.pair_mask.sum())
     att = np.asarray(entry.attention_gt)[:p]
     feats = np.asarray(out["rel_features"])[:p]
-    u = (np.asarray(out["attention_al_uc"]) + np.asarray(out["attention_ep_uc"]))[:p]
+    al = np.asarray(out["attention_al_uc"])[:p]
+    ep = np.asarray(out["attention_ep_uc"])[:p]
     cls = int(att[0])
     sel = att == cls
-    w = np.exp(u[sel, cls])
-    want = (w[:, None] * feats[sel]).sum(0) / w.sum()
+    w = np.exp((al + ep)[sel, cls])
+    # reference 'both' normalizer for relations: 2 * sum(exp(al)) + 1e-12
+    # (stats2's list-concat quirk, Uncertainty.py:65 — see debias/memory.py)
+    den = 2.0 * np.exp(al[sel, cls]).sum() + 1e-12
+    want = (w[:, None] * feats[sel]).sum(0) / den
     np.testing.assert_allclose(np.asarray(rel_mem[cls]), want, rtol=2e-5, atol=1e-5)
 
 

@@ -8,10 +8,17 @@ exp-sums (``stats2``, Uncertainty.py:55-67) before a weighted aggregation
 
 * weight_type 'simple':   mem[c] = mean of embeddings labeled c
   (indicator weights, final division by counts — Memory.py:72-84, 119-131);
-* 'al' / 'ep' / 'both':   mem[c] = sum_i exp(u_ic) f_i / sum_i exp(u_ic)
+* 'al' / 'ep':            mem[c] = sum_i exp(u_ic) f_i / (sum_i exp(u_ic) + 1e-12)
   (normalize_batch_uncertainty divides each weight by the per-class exp-sum,
-  Uncertainty.py:225/242; Memory.py then sums without further division),
-  with u = al, ep, or al+ep.
+  Uncertainty.py:225/242; Memory.py then sums without further division);
+* 'both':                 numerator weights are exp(al+ep), but the
+  DENOMINATOR carries two reference quirks from ``stats2``
+  (Uncertainty.py:55-67), where ``+`` concatenates the python lists instead
+  of adding the arrays: relations divide by **2 * sum_i exp(al_ic)**
+  (``np.exp(al + al)`` — al twice), objects by
+  **sum_i exp(al_ic) + sum_i exp(ep_ic)**. Both reproduced exactly (the
+  bank scale feeds the memory attention, so it is part of the trained
+  function); gated by the torch-oracle test against Memory.py itself.
 
 Both forms are single-pass streamable: accumulate (weighted feature sums,
 weight sums) per class on device and divide once at epoch end. No disk I/O,
@@ -45,6 +52,11 @@ class MemoryAccumulator(struct.PyTreeNode):
     obj_al_sum: jnp.ndarray  # [C-1]
     obj_ep_sum: jnp.ndarray  # [C-1]
     obj_cnt: jnp.ndarray     # [C-1]
+    # per-class exp-sums (the stats2 normalizers, Uncertainty.py:55-67):
+    rel_expal: jnp.ndarray   # [26]  sum_i exp(al_ic) over labeled slots
+    rel_expep: jnp.ndarray   # [26]
+    obj_expal: jnp.ndarray   # [C-1]
+    obj_expep: jnp.ndarray   # [C-1]
 
     @classmethod
     def zeros(cls, rel_dim: int = 1936, obj_dim: int = 1024,
@@ -61,6 +73,10 @@ class MemoryAccumulator(struct.PyTreeNode):
             obj_al_sum=jnp.zeros(no),
             obj_ep_sum=jnp.zeros(no),
             obj_cnt=jnp.zeros(no),
+            rel_expal=jnp.zeros(nr),
+            rel_expep=jnp.zeros(nr),
+            obj_expal=jnp.zeros(no),
+            obj_expep=jnp.zeros(no),
         )
 
 
@@ -119,6 +135,8 @@ def accumulate_memory(
             rel_al_sum=acc.rel_al_sum + (lab * al).sum(0),
             rel_ep_sum=acc.rel_ep_sum + (lab * ep).sum(0),
             rel_cnt=acc.rel_cnt + lab.sum(0),
+            rel_expal=acc.rel_expal + (lab * jnp.exp(al)).sum(0),
+            rel_expep=acc.rel_expep + (lab * jnp.exp(ep)).sum(0),
         )
 
     if obj_mem and "object_features" in out:
@@ -152,19 +170,42 @@ def accumulate_memory(
                 obj_al_sum=acc.obj_al_sum + (olab * oal[:, None]).sum(0),
                 obj_ep_sum=acc.obj_ep_sum + (olab * oep[:, None]).sum(0),
                 obj_cnt=acc.obj_cnt + olab.sum(0),
+                obj_expal=acc.obj_expal + (olab * jnp.exp(oal)[:, None]).sum(0),
+                obj_expep=acc.obj_expep + (olab * jnp.exp(oep)[:, None]).sum(0),
             )
     return acc
 
 
-def finalize_memory(acc: MemoryAccumulator):
+def _denominator(weight_type, w, expal, expep, joint_quirk):
+    """The reference's per-class normalizer for each weight type.
+
+    'simple' divides the indicator sums by the counts with a nonzero guard
+    (Memory.py:119-131); the weighted types divide each sample weight by
+    the stats2 exp-sum + 1e-12 (Uncertainty.py:225/242). 'both' uses the
+    quirk normalizers documented in the module docstring: 2*sum(exp(al))
+    for relations (joint_quirk=True), sum(exp(al)) + sum(exp(ep)) for
+    objects."""
+    if weight_type == "simple":
+        return jnp.where(w > 0, w, jnp.inf)  # zero-sample rows stay zero
+    if weight_type == "al":
+        return expal + 1e-12
+    if weight_type == "ep":
+        return expep + 1e-12
+    if joint_quirk:  # 'both', relations: stats2's np.exp(al + al)
+        return 2.0 * expal + 1e-12
+    return expal + expep + 1e-12  # 'both', objects: exp(al) ++ exp(ep)
+
+
+def finalize_memory(acc: MemoryAccumulator, rel_weight_type: str = "simple",
+                    obj_weight_type: str = "simple"):
     """(rel_memory [26, Dr], obj_memory [C-1, Do]) — classes with no samples
     stay zero (matching the reference's zero-initialized banks)."""
-    rel = jnp.where(
-        acc.rel_w[:, None] > 0, acc.rel_wsum / jnp.maximum(acc.rel_w[:, None], 1e-12), 0.0
-    )
-    obj = jnp.where(
-        acc.obj_w[:, None] > 0, acc.obj_wsum / jnp.maximum(acc.obj_w[:, None], 1e-12), 0.0
-    )
+    rel_den = _denominator(rel_weight_type, acc.rel_w, acc.rel_expal,
+                           acc.rel_expep, joint_quirk=True)
+    obj_den = _denominator(obj_weight_type, acc.obj_w, acc.obj_expal,
+                           acc.obj_expep, joint_quirk=False)
+    rel = acc.rel_wsum / rel_den[:, None]
+    obj = acc.obj_wsum / obj_den[:, None]
     return rel, obj
 
 

@@ -364,7 +364,9 @@ def run_training(
 
         # ---- epoch-end memory computation (ref :360-379) ----
         if loop_cfg.mem_enabled:
-            rel_mem, obj_mem = finalize_memory(acc)
+            rel_mem, obj_mem = finalize_memory(
+                acc, loop_cfg.rel_mem_weight_type, loop_cfg.obj_mem_weight_type
+            )
             state = state.with_memory(rel_mem, obj_mem)
 
     # the reference computes memory banks AFTER its epoch checkpoints, so
