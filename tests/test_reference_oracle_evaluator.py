@@ -218,3 +218,77 @@ def test_evaluator_matches_reference(mode, constraint, semi):
                                        err_msg=f"mR@{k}")
     # sanity: the inputs actually exercise the metric
     assert 0.0 < np.mean(our_rec[20]) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# assign_relations (tools/utils/funcs.py:6-77) — the GT assignment that
+# supervises sgdet training — vs detector/sgdet.py:assign_relations
+# ---------------------------------------------------------------------------
+
+def test_assign_relations_matches_reference():
+    """Inputs crafted to hit every quirk: two GT boxes whose argmax is the
+    SAME detection (dedup walk), a dedup fallback that lands on a
+    below-threshold detection, all-detections-taken (duplicate index kept),
+    unmatched GT (supply), a frame with zero detections, and the two-stage
+    assigned_labels overwrite (bulk per-detection argmax, then per-GT
+    candidates for objects only)."""
+    from tools.utils.funcs import assign_relations as ref_assign
+
+    from vidsgg.detector.sgdet import assign_relations as our_assign
+
+    def box(x, y, s=40.0):
+        return [x, y, x + s, y + s]
+
+    # frame 0: person + 2 objects; obj A and obj B both overlap det 1 most
+    # frame 1: zero detections
+    # frame 2: person matched; object with NO overlapping det -> supply
+    gt = [
+        [
+            {"person_bbox": np.array([box(0, 0, 60)])},
+            {"bbox": np.array(box(100, 100, 50)), "class": 7},
+            {"bbox": np.array(box(104, 104, 50)), "class": 12},  # same argmax
+        ],
+        [
+            {"person_bbox": np.array([box(10, 10, 60)])},
+            {"bbox": np.array(box(200, 200, 50)), "class": 5},
+        ],
+        [
+            {"person_bbox": np.array([box(0, 0, 60)])},
+            {"bbox": np.array(box(400, 400, 30)), "class": 9},
+        ],
+    ]
+    dets = [
+        # frame 0: det0 ~ person, det1 ~ both objects, det2 far (fallback
+        # target below threshold)
+        (0, box(2, 2, 60)),
+        (0, box(101, 101, 50)),
+        (0, box(300, 5, 40)),
+        # frame 2: det ~ person only
+        (2, box(1, 1, 60)),
+        (2, box(90, 300, 40)),
+    ]
+    fb = np.array([[f, *b] for f, b in dets], np.float64)
+    fl = np.array([1, 7, 3, 1, 15], np.int64)
+
+    ref_found, ref_gts, ref_supply, ref_assigned = ref_assign(
+        {"FINAL_BBOXES": torch.from_numpy(fb),
+         "FINAL_LABELS": torch.from_numpy(fl)},
+        gt, assign_IOU_threshold=0.5)
+
+    frame_boxes = [fb[fb[:, 0] == i, 1:] for i in range(3)]
+    frame_labels = [fl[fb[:, 0] == i] for i in range(3)]
+    our_found, our_gts, our_supply, our_assigned = our_assign(
+        frame_boxes, frame_labels, gt, iou_thresh=0.5)
+
+    assert [list(map(int, f)) for f in our_found] == [
+        list(map(int, f)) for f in ref_found]
+    # same GT items matched/supplied, in order
+    for a, b in zip(our_gts, ref_gts):
+        assert len(a) == len(b) and all(x is y for x, y in zip(a, b))
+    for a, b in zip(our_supply, ref_supply):
+        assert len(a) == len(b) and all(x is y for x, y in zip(a, b))
+    np.testing.assert_array_equal(np.concatenate(our_assigned), ref_assigned)
+    # the fixture actually exercised the quirks
+    assert len(our_found[0]) == 3 and len(set(our_found[0])) == 3  # dedup walk
+    assert len(our_supply[2]) == 1  # unmatched GT
+    assert our_found[1] == [] if isinstance(our_found[1], list) else True
