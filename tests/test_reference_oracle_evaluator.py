@@ -292,3 +292,50 @@ def test_assign_relations_matches_reference():
     assert len(our_found[0]) == 3 and len(set(our_found[0])) == 3  # dedup walk
     assert len(our_supply[2]) == 1  # unmatched GT
     assert our_found[1] == [] if isinstance(our_found[1], list) else True
+
+
+# ---------------------------------------------------------------------------
+# obj_edge_vectors (tools/utils/word_vectors.py:15-35) — the GloVe label
+# embedding init — vs models/embeddings.py, from one shared synthetic cache
+# ---------------------------------------------------------------------------
+
+def test_obj_edge_vectors_matches_reference(tmp_path):
+    """Build a tiny glove-format txt covering the three lookup paths
+    (direct split('/')[0] hit, longest-space-separated-word fallback, total
+    miss), load it through BOTH stacks (the reference's txt->pt loader and
+    our txt->npz builder + loader), and assert matched rows are equal and
+    the same rows miss (misses keep each stack's random init by design)."""
+    from tools.utils.word_vectors import obj_edge_vectors as ref_wv
+
+    from vidsgg.models.embeddings import build_npz_from_glove_txt
+    from vidsgg.models.embeddings import obj_edge_vectors as our_wv
+
+    dim = 8
+    rng = np.random.default_rng(3)
+    words = ["sofa", "cup", "glass", "person", "table"]
+    txt = tmp_path / f"glove.6B.{dim}d.txt"
+    with open(txt, "w") as f:
+        for w in words:
+            vals = " ".join(f"{v:.6f}" for v in rng.standard_normal(dim))
+            f.write(f"{w} {vals}\n")
+
+    names = [
+        "sofa/couch",        # split('/')[0] hit
+        "cup/glass/bottle",  # split('/')[0] hit
+        "wine glass",        # miss on 'wine glass'.split('/')[0] -> longest word 'glass'
+        "person",            # direct hit
+        "doorknob",          # total miss (random/pseudo init)
+    ]
+    ref = ref_wv(names, wv_type="glove.6B", wv_dir=str(tmp_path), wv_dim=dim)
+
+    npz = tmp_path / "wv.npz"
+    build_npz_from_glove_txt(str(txt), str(npz), wv_dim=dim)
+    ours = our_wv(names, wv_dim=dim, wv_path=str(npz))
+
+    hit = [0, 1, 2, 3]
+    np.testing.assert_allclose(ours[hit], ref.numpy()[hit], atol=1e-6,
+                               err_msg="matched GloVe rows")
+    # the miss row keeps random init on the torch side — only assert OUR
+    # miss is the documented deterministic pseudo-vector, not a table row
+    from vidsgg.models.embeddings import _pseudo_vector
+    np.testing.assert_allclose(ours[4], _pseudo_vector("doorknob", dim))
