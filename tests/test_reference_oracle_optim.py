@@ -126,3 +126,73 @@ def test_optax_adamw_would_fail_this_oracle():
         params = jax.tree.map(lambda p, u: p + u, params, updates)
     diff = np.abs(np.asarray(params[0]) - tparams[0].detach().numpy()).max()
     assert diff > 1e-9, "expected optax.adamw epsilon placement to diverge"
+
+
+# ---------------------------------------------------------------------------
+# loss assembly (TEMPURA_train.py:97-212) vs vidsgg.train.steps.assemble_losses
+# ---------------------------------------------------------------------------
+
+def test_loss_assembly_matches_reference_script():
+    """The train scripts' inline loss math run verbatim in torch —
+    eos_coef-weighted CrossEntropyLoss(reduction='none').mean() over the
+    object axis (NO weight renormalization, the quirk masked_ce documents),
+    CE applied to the already-softmaxed attention probabilities, BCELoss on
+    the sigmoid outputs — vs assemble_losses on the same padded Entry.
+    (The pml ContrastiveLoss terms need the external pytorch_metric_learning
+    package and are gated separately against infoNCE.py's own classes.)"""
+    from vidsgg import constants as C
+    from vidsgg.data import (
+        EntryCapacity,
+        build_gt_entry,
+        synthetic_video_annotation,
+    )
+    from vidsgg.train.steps import LossFlags, assemble_losses
+
+    cap = EntryCapacity(max_frames=6, max_objs=16, max_pairs=12)
+    ann = synthetic_video_annotation(num_frames=4, objs_per_frame=2, seed=11)
+    entry = build_gt_entry(ann, cap)
+    n = int(np.asarray(entry.obj_mask).sum())
+    p = int(np.asarray(entry.pair_mask).sum())
+    rng = np.random.default_rng(12)
+
+    att = rng.dirichlet(np.ones(3), cap.max_pairs)          # softmaxed probs
+    spa = rng.uniform(0.01, 0.99, (cap.max_pairs, 6))        # sigmoid probs
+    con = rng.uniform(0.01, 0.99, (cap.max_pairs, 17))
+    obj_logits = rng.standard_normal((cap.max_objs, 37))
+    out = {
+        "attention_distribution": jnp.asarray(att),
+        "spatial_distribution": jnp.asarray(spa),
+        "contacting_distribution": jnp.asarray(con),
+        "distribution": jnp.asarray(obj_logits),
+    }
+
+    # ---- torch, exactly as the script builds it ----
+    eos = 0.3
+    weights = torch.ones(37, dtype=torch.float64)
+    weights[0] = eos
+    ce_obj = torch.nn.CrossEntropyLoss(weight=weights, reduction="none")
+    ce_rel = torch.nn.CrossEntropyLoss(reduction="none")
+    bce = torch.nn.BCELoss(reduction="none")
+
+    att_label = torch.from_numpy(
+        np.asarray(entry.attention_gt)[:p].astype(np.int64))
+    spa_label = torch.from_numpy(np.asarray(entry.spatial_gt, np.float64)[:p])
+    con_label = torch.from_numpy(np.asarray(entry.contacting_gt, np.float64)[:p])
+    labels = torch.from_numpy(np.asarray(entry.labels)[:n].astype(np.int64))
+
+    ref = {
+        "object_loss": ce_obj(
+            torch.from_numpy(obj_logits[:n]), labels).mean().item(),
+        "attention_relation_loss": ce_rel(
+            torch.from_numpy(att[:p]), att_label).mean().item(),
+        "spatial_relation_loss": bce(
+            torch.from_numpy(spa[:p]), spa_label).mean().item(),
+        "contacting_relation_loss": bce(
+            torch.from_numpy(con[:p]), con_label).mean().item(),
+    }
+
+    flags = LossFlags(mode="sgdet", num_classes=37, eos_coef=eos)
+    ours = assemble_losses(out, entry, flags)
+    for k, v in ref.items():
+        np.testing.assert_allclose(float(ours[k]), v, rtol=1e-10,
+                                   err_msg=k)
