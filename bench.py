@@ -1,12 +1,19 @@
 """Benchmark: SGDet frames/sec/chip, end-to-end honest, plus MFU.
 
-v3 (round 4): the HEADLINE is the PARITY SERVING CONFIG — the exact
+v4 (round 4): the HEADLINE is the PARITY SERVING CONFIG — the exact
 detector/frontend defaults `tempura_test --mode sgdet` builds
-(`FasterRCNN()` = RPN 6000 pre-NMS / 300 post-NMS, `SgdetCaps()` = 16
+(`FasterRCNN()` = RPN 6000 pre-NMS / 100 post-NMS, `SgdetCaps()` = 16
 detections/frame; cli/data_source.py:build_detector + the test CLIs), at
 the 16-frame bucket so bench padding == CLI padding. The best CLI-reachable
 mode wins the headline: single-video, `--pair_detect 2`, or
 `--pair_detect 4`.
+
+100 post-NMS proposals per frame is the reference's own serving load: its
+frozen detector's documented full-forward shapes are rois [10, 100, 5] /
+roi_features [10, 100, 2048] (tools/utils/object_detector.py:85-94,
+SURVEY §2.3). jwyang's library default of 300 is NOT what the reference
+runs; a 6000/300 probe is still reported for cross-round continuity
+(`e2e_fps_single_post300`).
 
   end-to-end: raw frames -> SgdetFrontend (full ResNet-101 Faster R-CNN
   forward, per-class NMS grid, device packing of the padded detections into
@@ -138,7 +145,7 @@ def main():
     holder = {}
 
     # ---- parity serving config: what `tempura_test --mode sgdet` builds ----
-    par = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16)
+    par = Config(holder, pre_nms=6000, post_nms=100, dets_per_frame=16)
     vids = par.videos(4)
     video0 = vids[0][0]
 
@@ -213,7 +220,7 @@ def main():
         return v
 
     try:
-        q = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16,
+        q = Config(holder, pre_nms=6000, post_nms=100, dets_per_frame=16,
                    quant_vars=lambda m, v: unit_scales(m, v))
         dt_int8_p2 = probe(make_pair(q.frontend, 2, q.union_ppf), 5, 2,
                            "int8-pair2")
@@ -244,6 +251,29 @@ def main():
         print(f"reduced-config probe failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         dt_red_p2 = None
+
+    # ---- jwyang-default 6000/300 (what rounds <=4-mid called "parity";
+    # kept for cross-round continuity — the reference itself serves 100
+    # rois/frame, see module docstring) ----
+    try:
+        p300 = Config(holder, pre_nms=6000, post_nms=300, dets_per_frame=16)
+        e_3, fm_3 = p300.frontend(video0, p300.im_hw, 1.0, is_train=False)
+        state_3 = create_train_state(
+            Tempura(cfg), cfg, e_3, rng, make_optimizer(steps_per_epoch=1))
+
+        def single_300():
+            e, fm = p300.frontend(video0, p300.im_hw, 1.0, is_train=False)
+            _, out, _ = sgdet_fused_stage(state_3, e, fm, True,
+                                          p300.union_ppf)
+            return out["contacting_distribution"]
+
+        dt_p300 = probe(single_300, 5, 1, "post300-single")
+    except Exception as exc:
+        import sys
+
+        print(f"post300 probe failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        dt_p300 = None
 
     # ---- group-4 probes LAST: 64 frames of 6000-proposal detect state can
     # OOM the chip, and under the axon tunnel a single OOM leaves the
@@ -295,6 +325,12 @@ def main():
                 # load, object_detector.py:85-94) but bench-shaped
                 "e2e_fps_pair2_reduced_128": (
                     round(FRAMES / dt_red_p2, 2) if dt_red_p2 else None
+                ),
+                # jwyang library default (6000/300) — mid-round-4 "parity"
+                # label before the reference's own 100-roi serving load was
+                # pinned; continuity only
+                "e2e_fps_single_post300": (
+                    round(FRAMES / dt_p300, 2) if dt_p300 else None
                 ),
                 "device_only_fps": round(FRAMES / (dt_detect + dt_rel), 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),

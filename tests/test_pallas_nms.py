@@ -108,3 +108,82 @@ def test_pallas_nms_batched_scan_variant():
             nms_mask(jnp.asarray(b2[i]), jnp.asarray(s2[i]), jnp.asarray(v2[i]), 0.6)
         )
         assert (got2[i] == want2).all()
+
+
+def _kept_in_rank_order(boxes, scores, valid, mask):
+    """Indices of kept boxes ordered by descending score (stable)."""
+    order = np.argsort(np.where(valid, -scores, np.inf), kind="stable")
+    return [i for i in order if mask[i]]
+
+
+def test_pallas_nms_max_keep_prefix_exact():
+    """Early exit is prefix-stable: the first ``max_keep`` keeps per problem
+    (in score order) match the full scan exactly; with max_keep >= the true
+    keep count the masks are identical."""
+    from vidsgg.ops.pallas_nms import nms_mask_pallas_batched
+
+    rng = np.random.RandomState(7)
+    g, n = 4, 80
+    boxes = np.stack([_random_problem(rng, n)[0] for _ in range(g)])
+    scores = rng.rand(g, n).astype(np.float32)
+    valid = rng.rand(g, n) > 0.3
+    full = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+        True))
+    for mk in (1, 3, 5, n):
+        got = np.asarray(nms_mask_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+            True, mk))
+        for i in range(g):
+            full_keeps = _kept_in_rank_order(
+                boxes[i], scores[i], valid[i], full[i])
+            have = _kept_in_rank_order(boxes[i], scores[i], valid[i], got[i])
+            # every problem's keeps are a rank-order prefix of the full
+            # scan's keeps, at least max_keep long (the block exits
+            # together, so overshoot is allowed; undershoot is not)
+            assert have == full_keeps[: len(have)], (mk, i)
+            assert len(have) >= min(mk, len(full_keeps)), (mk, i)
+        if mk == n:
+            assert (got == full).all()
+
+
+def test_pallas_nms_max_keep_all_invalid_problem():
+    """A problem with zero valid boxes must not stall the early exit and
+    must keep nothing."""
+    from vidsgg.ops.pallas_nms import nms_mask_pallas_batched
+
+    rng = np.random.RandomState(8)
+    n = 40
+    boxes = np.stack([_random_problem(rng, n)[0] for _ in range(2)])
+    scores = rng.rand(2, n).astype(np.float32)
+    valid = np.stack([np.ones(n, bool), np.zeros(n, bool)])
+    got = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+        True, 5))
+    full = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+        True))
+    assert not got[1].any()
+    want = _kept_in_rank_order(boxes[0], scores[0], valid[0], full[0])[:5]
+    have = _kept_in_rank_order(boxes[0], scores[0], valid[0], got[0])
+    assert have[:5] == want
+
+
+def test_pallas_nms_presorted_matches_sorted_path():
+    """presorted=True on inputs already in descending-score order (valid
+    first) returns the same mask as the sorting path."""
+    from vidsgg.ops.pallas_nms import nms_mask_pallas_batched
+
+    rng = np.random.RandomState(9)
+    g, n = 3, 64
+    boxes = np.stack([_random_problem(rng, n)[0] for _ in range(g)])
+    scores = np.sort(rng.rand(g, n).astype(np.float32), axis=-1)[:, ::-1]
+    scores = np.ascontiguousarray(scores)
+    valid = np.ones((g, n), bool)
+    want = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+        True))
+    got = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5,
+        True, None, True))
+    assert (got == want).all()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidsgg.ops.boxes import bbox_transform_inv, clip_boxes
-from vidsgg.ops.nms import nms_mask
+from vidsgg.ops.nms import nms_mask, use_pallas_nms
 
 
 @dataclasses.dataclass(frozen=True)
@@ -27,7 +27,12 @@ class RPNConfig:
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
     feat_stride: int = 16
     pre_nms_top_n: int = 6000
-    post_nms_top_n: int = 300
+    # 100, not jwyang's 300 default: the reference's frozen detector serves
+    # 100 rois/frame — its documented full-forward shapes are
+    # rois [10, 100, 5] / roi_features [10, 100, 2048]
+    # (tools/utils/object_detector.py:85-94, SURVEY §2.3), so 100 post-NMS
+    # proposals per frame IS the parity serving load for ROIAlign + head.
+    post_nms_top_n: int = 100
     nms_thresh: float = 0.7
     # NOTE: no min_size proposal filter. The reference's frozen detector is
     # the STTran-vendored jwyang faster-rcnn.pytorch
@@ -115,14 +120,26 @@ def proposal_layer(
     top_boxes, top_scores = jax.vmap(decode_topk)(
         fg_scores, deltas, im_hw_b
     )  # [B, K, 4]
-    keep = batched_class_nms(
-        top_boxes, top_scores, jnp.ones(top_scores.shape, bool), cfg.nms_thresh
-    )
+    valid = jnp.ones(top_scores.shape, bool)
+    if top_scores.shape[-1] >= 512 and use_pallas_nms():
+        from vidsgg.ops.pallas_nms import nms_mask_pallas_batched
+
+        # the scan consumes top_k's already-descending order (presorted) and
+        # stops once every frame has post_nms_top_n keeps (max_keep): greedy
+        # NMS is prefix-stable, and `select` below takes exactly that many
+        keep = nms_mask_pallas_batched(
+            top_boxes, top_scores, valid, cfg.nms_thresh,
+            max_keep=cfg.post_nms_top_n, presorted=True)
+    else:
+        keep = batched_class_nms(top_boxes, top_scores, valid, cfg.nms_thresh)
 
     def select(boxes, scores, kp):
         k = boxes.shape[0]
         rank = jnp.where(kp, jnp.arange(k), k)
-        order = jnp.argsort(rank)[: cfg.post_nms_top_n]
+        # first post_nms_top_n keeps in score order; top_k on the negated
+        # rank beats a full argsort at K=6000 and breaks ties (the padded
+        # rank k) by index, exactly like a stable ascending argsort
+        _, order = jax.lax.top_k(-rank, cfg.post_nms_top_n)
         mask = kp[order]
         return boxes[order] * mask[:, None], scores[order] * mask, mask
 

@@ -72,7 +72,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _nms_batch_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, thresh_ref,
-                      keep_ref, sup_ref):
+                      keep_ref, sup_ref, *, max_keep=None):
     """Batched scan: ALL problems advance one ranked box per step.
 
     v1 (`_nms_kernel`) runs one program per (frame, class) problem, so the
@@ -82,6 +82,13 @@ def _nms_batch_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, thresh_ref,
     grid costs N wide steps total. Per-step scalars (box i's coords, its
     suppression bit) are [PB, 1] dynamic lane slices, broadcast against the
     row-wide operands.
+
+    ``max_keep``: early-exit bound. Greedy NMS is a prefix-stable scan —
+    once every problem in the block has kept ``max_keep`` boxes, later
+    steps can only mark keeps the consumer discards (the RPN proposal
+    layer keeps exactly ``post_nms_top_n``), so the scan stops. Exact for
+    the first ``max_keep`` keeps per problem; boxes that would have been
+    kept after that may stay unmarked.
     """
     pb, n = x1_ref.shape
     thresh = thresh_ref[0]
@@ -92,7 +99,7 @@ def _nms_batch_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, thresh_ref,
     sup_ref[:] = jnp.zeros((pb, n), jnp.float32)
     keep_ref[:] = jnp.zeros((pb, n), jnp.float32)
 
-    def body(i, _):
+    def step(i):
         # Mosaic can't prove lane alignment for a [PB, 1] dynamic slice, so
         # per-problem scalars come from one-hot masked lane reductions
         sel = jnp.where(col == i, 1.0, 0.0)   # [PB, N] one-hot column
@@ -113,24 +120,52 @@ def _nms_batch_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, thresh_ref,
         newly = jnp.where((iou > thresh) & (col > i), 1.0, 0.0) * is_kept
         sup_ref[:] = jnp.maximum(sup_ref[:], newly)
         keep_ref[:] = jnp.maximum(keep_ref[:], sel * is_kept)
-        return 0
+        return is_kept
 
-    jax.lax.fori_loop(0, n, body, 0)
+    if max_keep is None:
+        jax.lax.fori_loop(0, n, lambda i, _: (step(i), 0)[1], 0)
+    else:
+        # a problem is live while it still wants keeps AND ranked valid
+        # boxes remain (valid boxes sort first, so steps past its valid
+        # count are no-ops for it; all-padding problems retire at i=0)
+        v_count = jnp.sum(valid_f, axis=1, keepdims=True)  # [PB, 1]
+
+        def cond(state):
+            i, counts = state
+            live = (counts < float(max_keep)) & (i < v_count)
+            return (i < n) & jnp.any(live)
+
+        def body(state):
+            i, counts = state
+            return i + 1, counts + step(i)
+
+        jax.lax.while_loop(cond, body, (0, jnp.zeros((pb, 1), jnp.float32)))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def nms_mask_pallas_batched(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float,
     interpret: bool = False,
+    max_keep: int | None = None,
+    presorted: bool = False,
 ) -> jnp.ndarray:
     """Batched-scan Pallas NMS: same contract as :func:`nms_mask_pallas`.
 
     boxes [..., N, 4], scores [..., N], valid [..., N] -> keep [..., N].
     Problems are blocked onto the sublane axis; each grid program handles a
     block of problems and the scan advances all of them together.
+
+    ``max_keep``: stop the scan once every problem has kept ``max_keep``
+    boxes (or exhausted its valid boxes). The mask is exact for the first
+    ``max_keep`` kept boxes per problem in score order; boxes that would
+    have been kept after that may stay unmarked — only safe when the
+    consumer takes at most ``max_keep`` keeps (the RPN proposal layer).
+
+    ``presorted``: scores are already descending with valid boxes first
+    (e.g. straight out of ``top_k``) — skips the sort and the scatter back.
     """
     lead = boxes.shape[:-2]
     n = boxes.shape[-2]
@@ -141,11 +176,16 @@ def nms_mask_pallas_batched(
     s = scores.reshape(g, n).astype(jnp.float32)
     v = valid.reshape(g, n)
 
-    neg_inf = jnp.finfo(jnp.float32).min
-    order = jnp.argsort(jnp.where(v, s, neg_inf), axis=-1, descending=True)
     gi = jnp.arange(g)[:, None]
-    bs = b[gi, order]
-    vs = v[gi, order]
+    if presorted:
+        order = None
+        bs, vs = b, v
+    else:
+        neg_inf = jnp.finfo(jnp.float32).min
+        order = jnp.argsort(
+            jnp.where(v, s, neg_inf), axis=-1, descending=True)
+        bs = b[gi, order]
+        vs = v[gi, order]
 
     n_pad = _round_up(max(n, 128), 128)
     # block problems to keep ~7 [PB, n_pad] f32 arrays within a few MB VMEM
@@ -164,7 +204,7 @@ def nms_mask_pallas_batched(
 
     spec = pl.BlockSpec((pb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
     keep_sorted = pl.pallas_call(
-        _nms_batch_kernel,
+        functools.partial(_nms_batch_kernel, max_keep=max_keep),
         grid=(g_pad // pb,),
         in_specs=[spec, spec, spec, spec, spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -175,6 +215,8 @@ def nms_mask_pallas_batched(
     )(chan(0), chan(1), chan(2), chan(3), vmat, thresh)
 
     keep_sorted = keep_sorted[:g, :n] != 0.0
+    if presorted:
+        return keep_sorted.reshape(lead + (n,))
     keep = jnp.zeros((g, n), bool).at[gi, order].set(keep_sorted)
     return keep.reshape(lead + (n,))
 
