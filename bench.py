@@ -301,7 +301,7 @@ def main():
                 "value": round(fps_best, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps_best / BASELINE_FPS_ESTIMATE, 2),
-                # parity config = serving CLI defaults (RPN 6000/300,
+                # parity config = serving CLI defaults (RPN 6000/100,
                 # 16 dets/frame, 16-frame bucket); headline = best of the
                 # CLI-reachable modes below
                 "e2e_fps_single": round(fps_single, 2),
@@ -335,8 +335,13 @@ def main():
                 "device_only_fps": round(FRAMES / (dt_detect + dt_rel), 2),
                 "detect_ms_per_video": round(dt_detect * 1e3, 1),
                 "relation_ms_per_video": round(dt_rel * 1e3, 1),
-                "host_overhead_ms_per_video": round(
-                    (dt_single - dt_detect - dt_rel) * 1e3, 1
+                # residual of the composed window over the per-stage
+                # windows, clamped at 0: the stages are timed in separate
+                # windows, so a few ms of window noise can make the raw
+                # residual negative (r4 recorded -2.3) — that is "no
+                # measurable host overhead", not negative work
+                "host_overhead_ms_per_video": max(
+                    0.0, round((dt_single - dt_detect - dt_rel) * 1e3, 1)
                 ),
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "analytic_tflops_per_video": round(flops_video / 1e12, 3),

@@ -14,6 +14,21 @@ from vidsgg.detector.sgdet import SgdetCaps, SgdetFrontend, assign_relations
 RPN_SMALL = RPNConfig(pre_nms_top_n=64, post_nms_top_n=16)
 
 
+def test_rpn_serving_default_is_reference_roi_load():
+    """Regression pin for the PRODUCTION RPN default (every other test
+    uses tiny configs): the reference's frozen detector serves 100
+    rois/frame — its documented full-forward shapes are
+    rois [10, 100, 5] / roi_features [10, 100, 2048]
+    (tools/utils/object_detector.py:88-94) — so 100 post-NMS proposals
+    IS the parity serving load. The r4 300->100 change tripled serving
+    throughput (docs/PERF.md proposal-count sensitivity); a silent
+    revert to jwyang's 300 library default would cost it back."""
+    cfg = RPNConfig()
+    assert cfg.post_nms_top_n == 100
+    assert cfg.pre_nms_top_n == 6000
+    assert cfg.nms_thresh == 0.7
+
+
 def test_generate_anchors_layout():
     cfg = RPNConfig()
     a = generate_anchors(cfg, 3, 4)
