@@ -66,10 +66,16 @@ def _assert_outputs(out, n_videos, expect_frames=True):
     assert {"subject", "attention_rel", "spatial_rel", "contact_rel",
             "object"} <= set(trip)
     assert os.path.exists(os.path.join(out, "video_000", "gt_vs_pred.png"))
+    vdir = os.path.join(out, "video_000")
     if expect_frames:
-        pngs = [p for p in os.listdir(os.path.join(out, "video_000"))
-                if p.startswith("frame_")]
+        pngs = [p for p in os.listdir(vdir) if p.startswith("frame_")]
         assert pngs, "no scene-graph overlay PNGs written"
+        # GT-side overlays (Viz_GT_Scene_Graph equivalent)
+        gt_pngs = [p for p in os.listdir(vdir) if p.startswith("gt_frame_")]
+        assert gt_pngs, "no GT scene-graph overlay PNGs written"
+    # per-object temporal-consistency matrices (Viz_Temporal_Consistency)
+    tc_pngs = [p for p in os.listdir(vdir) if p.startswith("tempcons_")]
+    assert tc_pngs, "no temporal-consistency matrix PNGs written"
     assert os.path.exists(os.path.join(out, "tsne_contact.png"))
 
 

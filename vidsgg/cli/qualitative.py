@@ -32,10 +32,12 @@ from vidsgg.train import create_train_state, make_optimizer
 from vidsgg.train.checkpoint import restore_checkpoint
 from vidsgg.train.eval_pipeline import EvalPipeline
 from vidsgg.utils.visualize import (
+    draw_gt_scene_graph,
     draw_scene_graph,
     dump_kcc_predictions,
     gt_vs_pred_matrix,
     kcc_prediction_json,
+    temporal_consistency_plot,
     tsne_contact_logits,
 )
 
@@ -67,7 +69,7 @@ def _denorm_frames(frames: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(frames) + np.asarray(C.PIXEL_MEANS_BGR), 0, 255)
 
 
-def _viz_video(out_dir, name, pred, frames, viz_frames):
+def _viz_video(out_dir, name, pred, frames, viz_frames, gt=None):
     vdir = os.path.join(out_dir, name)
     for f in sorted(np.unique(np.asarray(pred["im_idx"]).astype(int)))[:viz_frames]:
         if frames is not None and f >= len(frames):
@@ -76,8 +78,16 @@ def _viz_video(out_dir, name, pred, frames, viz_frames):
                  else np.full((480, 640, 3), 127.0))
         draw_scene_graph(frame, pred, int(f),
                          os.path.join(vdir, f"frame_{int(f):04d}.png"))
+        if gt is not None and f < len(gt):
+            # GT-side overlay (reference Viz_GT_Scene_Graph,
+            # tools/utils/visualize.py:53-78)
+            draw_gt_scene_graph(
+                frame, gt[int(f)],
+                os.path.join(vdir, f"gt_frame_{int(f):04d}.png"))
     if "spatial_gt" in pred and len(pred.get("spatial_gt", [])):
         gt_vs_pred_matrix(pred, os.path.join(vdir, "gt_vs_pred.png"))
+    if "contacting_gt" in pred and len(pred.get("contacting_gt", [])):
+        temporal_consistency_plot(pred, vdir)
 
 
 def evaluate_main(argv, family: str):
@@ -180,7 +190,7 @@ def evaluate_main(argv, family: str):
             frames = None
             if ds is not None and idx is not None:
                 frames = _denorm_frames(ds.load_video_frames(idx)[0])
-            _viz_video(args.out, name, pred, frames, args.viz_frames)
+            _viz_video(args.out, name, pred, frames, args.viz_frames, gt=gt)
         if "contacting_gt" in pred and len(pred.get("contacting_gt", [])):
             tsne_rows.append(np.asarray(pred["contacting_distribution"]))
             tsne_gt.extend(pred["contacting_gt"])

@@ -6,8 +6,17 @@ Covers the reference's observability surface (tools/utils/visualize.py):
   (Log_KCC_Data_Prediction, visualize.py:135-174): for each frame, each
   pair becomes ``triplet_XX: {subject, attention_rel, spatial_rel,
   contact_rel, object}`` with argmax predicates.
-* :func:`draw_scene_graph` — GT/pred box + triplet overlay on a frame
+* :func:`draw_scene_graph` — pred box + triplet overlay on a frame
   (matplotlib, optional import).
+* :func:`draw_gt_scene_graph` — GT-side overlay from the AG-format
+  annotation: person box red, object boxes blue, one
+  ``Person <att & spa & con> obj`` text line per GT object
+  (Viz_GT_Scene_Graph, visualize.py:53-78; ``boxes_only=True`` is
+  Viz_BBox_in_Scene :187-201, and an empty gt_frame degenerates to
+  Viz_Just_Scene :204-217).
+* :func:`temporal_consistency_plot` — per object class, the GT one-hot
+  contact matrix next to the predicted contact distributions over time
+  (Viz_Temporal_Consistency + Viz_Logit_Matrix, visualize.py:256-293).
 """
 
 from __future__ import annotations
@@ -95,6 +104,103 @@ def draw_scene_graph(frame_bgr, pred: dict, frame_idx: int, out_path: str,
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, bbox_inches="tight", dpi=110)
     plt.close(fig)
+
+
+def draw_gt_scene_graph(frame_bgr, gt_frame, out_path: str,
+                        object_classes=None, boxes_only: bool = False):
+    """GT-side scene-graph overlay for one frame from the AG-format
+    annotation (Viz_GT_Scene_Graph, tools/utils/visualize.py:53-78):
+    the person box in red, each GT object box in blue, and — unless
+    ``boxes_only`` (Viz_BBox_in_Scene, :187-201) — one
+    ``Person <att & spa & con> obj`` line per object from the GT
+    relationship ids. ``gt_frame`` is one element of the gt_annotation
+    list: ``[{'person_bbox': [1,4]}, {'class', 'bbox',
+    'attention_relationship', ...}, ...]``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    object_classes = object_classes or list(C.AG_OBJECT_CLASSES)
+    fig, ax = plt.subplots(1, figsize=(10, 6))
+    ax.imshow(frame_bgr[..., ::-1].astype(np.uint8))
+
+    def _rect(b, color):
+        ax.add_patch(plt.Rectangle(
+            (b[0], b[1]), b[2] - b[0], b[3] - b[1],
+            fill=False, edgecolor=color, linewidth=2))
+
+    lines = []
+    if gt_frame:
+        pb = np.asarray(gt_frame[0]["person_bbox"]).reshape(-1)[:4]
+        _rect(np.round(pb).astype(int), "red")
+        for od in gt_frame[1:]:
+            ob = np.round(np.asarray(od["bbox"], float)).astype(int)
+            _rect(ob, "blue")
+            if boxes_only:
+                continue
+            # the reference prints the FIRST gt id of each multi-label
+            # field (Get_GT_Scene_Graph, visualize.py:79-88)
+            att = C.AG_ATTENTION_RELATIONSHIPS[
+                int(np.asarray(od["attention_relationship"]).reshape(-1)[0])]
+            spa = C.AG_SPATIAL_RELATIONSHIPS[
+                int(np.asarray(od["spatial_relationship"]).reshape(-1)[0])]
+            con = C.AG_CONTACTING_RELATIONSHIPS[
+                int(np.asarray(od["contacting_relationship"]).reshape(-1)[0])]
+            lines.append(
+                f"Person <{att} & {spa} & {con}> "
+                f"{object_classes[int(od['class'])]}")
+    if lines:
+        ax.set_title("; ".join(lines[:4]), fontsize=8)
+    ax.axis("off")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight", dpi=110)
+    plt.close(fig)
+
+
+def temporal_consistency_plot(pred: dict, out_dir: str, object_classes=None):
+    """Per-object-class temporal-consistency matrices
+    (Viz_Temporal_Consistency + Viz_Logit_Matrix,
+    tools/utils/visualize.py:256-293): for each unique non-person object
+    class among the pair objects, the GT contact one-hot rows (first gt
+    id per pair, :262) next to the predicted contacting distributions,
+    one ``<obj>.png`` per class. Returns the list of written paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    object_classes = object_classes or list(C.AG_OBJECT_CLASSES)
+    con = np.asarray(pred["contacting_distribution"])
+    gt_first = np.array(
+        [int(np.asarray(g).reshape(-1)[0]) for g in pred["contacting_gt"]])
+    labels = np.asarray(pred.get("pred_labels", pred.get("labels")))
+    pair_idx = np.asarray(pred["pair_idx"])
+    obj_label = labels[pair_idx[:, 1]]  # pair objects (person excluded)
+
+    written = []
+    n = min(len(con), len(gt_first), len(obj_label))
+    for target in np.unique(obj_label[:n]):
+        if int(target) == 1:  # person
+            continue
+        sel = obj_label[:n] == target
+        onehot = np.zeros((int(sel.sum()), con.shape[1]))
+        onehot[np.arange(len(onehot)), gt_first[:n][sel]] = 1.0
+        fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+        axes[0].matshow(onehot, aspect="auto")
+        axes[0].set_title("GT contact (one-hot)")
+        axes[1].matshow(con[:n][sel], aspect="auto")
+        axes[1].set_title("pred contact distribution")
+        for ax in axes:
+            ax.set_xlabel("class")
+            ax.set_ylabel("pair (time order)")
+        name = object_classes[int(target)].replace("/", "_")
+        out_path = os.path.join(out_dir, f"tempcons_{name}.png")
+        os.makedirs(out_dir, exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight", dpi=110)
+        plt.close(fig)
+        written.append(out_path)
+    return written
 
 
 def tsne_contact_logits(pred: dict, out_path: str, perplexity: float = 15.0):
