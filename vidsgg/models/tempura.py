@@ -54,6 +54,11 @@ class TempuraConfig:
     rel_head: str = "gmm"
     k: int = 6
     tracking: bool = False
+    # tracking-encoder depth (object_classifier.py:80-82 hardcodes 3);
+    # the multi-chip dryrun's tiny variants shrink it to keep the 8-way
+    # GSPMD compile small — the converter follows whatever depth the
+    # checkpoint carries, so 3 stays the parity default
+    track_layers: int = 3
     obj_mem_compute: bool = False
     rel_mem_compute: str | None = "joint"  # 'joint' | 'seperate' | None
     take_obj_mem_feat: bool = False
@@ -138,6 +143,7 @@ class Tempura(nn.Module):
             selection=cfg.selection if cfg.obj_mem_compute else None,
             selection_lambda=cfg.selection_lambda,
             tracking=cfg.tracking,
+            encoder_layers=cfg.track_layers,
             max_pe_len=600 if cfg.mode == "sgdet" else 400,
         )
         self.pair_features = PairFeatures(cfg)
