@@ -431,3 +431,140 @@ def test_full_teatgt_predcls_matches_reference(monkeypatch):
         assert ref_arr.shape == (p, width)
         np.testing.assert_allclose(ours, ref_arr, atol=1e-8, rtol=1e-8,
                                    err_msg=key)
+
+
+def test_full_teatgt_sgcls_matches_reference(monkeypatch):
+    """sgcls composition: the reference's OSPU-classified labels feed TEAT-GT
+    token construction (lib/teatgt.py:44-46,101-141 via the tools OSPU's
+    sgcls test branch: classify -> relabel/dedup -> pair rebuild), vs OUR
+    fused sgcls EvalPipeline (classify_objects -> sgcls_postprocess_device ->
+    relation_forward, needs_union=False) with converter-mapped weights.
+
+    The OSPU's recomputed union features (object_classifier.py:300-304) are
+    dead inputs for TEAT-GT (its relation path consumes object features +
+    pairs only, lib/teatgt.py:117-141) — both native union ops are shimmed
+    with zeros."""
+    import lib.teatgt as ref_mod
+    import tools.utils.object_classifier as ref_oc
+    from tools.utils.ds_track import get_sequence
+
+    from vidsgg.models import teatgt as our_mod
+    from vidsgg.models.convert_teatgt import convert_teatgt_state_dict
+    from vidsgg.models.teatgt import TeatGT, TeatGTConfig
+    from vidsgg.train import create_train_state, make_optimizer
+    from vidsgg.train.eval_pipeline import EvalPipeline
+
+    monkeypatch.setattr(ref_mod, "device", torch.device("cpu"))
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+    orig_type = torch.Tensor.type
+
+    def _type64(self, dtype=None, non_blocking=False, **kw):
+        if dtype is None:
+            return orig_type(self)
+        if dtype == torch.float32:
+            dtype = torch.float64
+        return orig_type(self, dtype, non_blocking=non_blocking, **kw)
+
+    monkeypatch.setattr(torch.Tensor, "type", _type64)
+    _EIG_CACHE.clear()
+    monkeypatch.setattr(np.linalg, "eigh", _caching_eigh(np.linalg.eigh))
+
+    torch.manual_seed(13)
+    fake_wv = lambda names, **kw: torch.randn(len(names), 200)
+    monkeypatch.setattr(ref_mod, "obj_edge_vectors", fake_wv)
+    monkeypatch.setattr(ref_oc, "obj_edge_vectors", fake_wv)
+    monkeypatch.setattr(
+        ref_oc, "draw_union_boxes",
+        lambda pair_rois, s: np.zeros((len(pair_rois), 2, s, s)))
+
+    def _center_size(boxes):
+        # tools/utils/fpn/box_utils lineage formula (absent from the
+        # checkout); identical to our ops/boxes.py center_size
+        wh = boxes[:, 2:] - boxes[:, :2] + 1.0
+        return torch.cat((boxes[:, :2] + 0.5 * (wh - 1.0), wh), 1)
+
+    monkeypatch.setattr(ref_oc, "center_size", _center_size)
+
+    names = list(C.AG_OBJECT_CLASSES)
+    ref = ref_mod.TEAT_GT(
+        mode="sgcls", attention_class_num=3, spatial_class_num=6,
+        contact_class_num=17, obj_classes=names, tracking=True,
+        args=_Args(),
+    ).double().eval()
+    ref.object_classifier.RCNN_roi_align = lambda fmaps, rois: torch.zeros(
+        rois.shape[0], 1024, 7, 7, dtype=torch.float64)
+    with torch.no_grad():
+        for prm in ref.parameters():
+            prm.add_(0.1 * torch.randn_like(prm))
+        gf = ref.TokenGT_encoder.graph_encoder.graph_feature
+        gf.temp_encoder.weight[0].zero_()
+        gf.edge_encoder.weight[0].zero_()
+
+    entry, n, p = _make_entry(seed=5)
+    # detector-style class scores biased toward GT: mostly-right,
+    # sometimes-wrong OSPU argmax labels feeding the tokenizer
+    rng = np.random.default_rng(23)
+    logits = rng.standard_normal((CAP.max_objs, 36))
+    lbl = np.asarray(entry.labels)
+    logits[np.arange(CAP.max_objs), np.clip(lbl - 1, 0, 35)] += 3.0
+    dist = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    dist[n:] = 0.0
+    entry = entry.replace(distribution=jnp.asarray(dist))
+
+    tentry = _torch_entry(entry, n, p)
+    tentry["distribution"] = torch.from_numpy(dist[:n])
+    tentry["im_info"] = torch.tensor(1.0, dtype=torch.float64)
+    nf = int(np.asarray(entry.boxes[:n, 0]).max()) + 1
+    tentry["fmaps"] = torch.zeros(nf, 1024, 20, 32, dtype=torch.float64)
+    get_sequence(tentry, None, None, "sgcls")
+
+    old = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            out_ref = ref(dict(tentry), phase="test", unc=False)
+    finally:
+        torch.set_default_dtype(old)
+
+    cfg = TeatGTConfig.for_mode(
+        "sgcls", encoder_layers=2, encoder_attention_heads=4, caps=CLIPS,
+    )
+    assert cfg.tracking  # mode-derived override (teatgt_config.py:11-14)
+    variables = convert_teatgt_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    monkeypatch.setattr(our_mod, "masked_laplacian_eig", _reference_eig)
+
+    model = TeatGT(cfg)
+    state = create_train_state(
+        model, cfg, entry, jax.random.PRNGKey(0),
+        make_optimizer(steps_per_epoch=1),
+    )
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables.get("batch_stats", {}))
+    # the eigenbasis replay above is host numpy — run the fused stage's
+    # exact body unjitted so it can execute (the jitted stage itself is
+    # exercised by test_teatgt_sgcls_eval)
+    from vidsgg.train import eval_pipeline as ep
+
+    monkeypatch.setattr(ep, "sgcls_fused_stage", ep._sgcls_fused)
+    pipe = EvalPipeline("sgcls", CAP, needs_union=False)
+    pred = pipe(state, entry, None, gt_entry=entry)
+
+    p2 = out_ref["attention_distribution"].shape[0]
+    np.testing.assert_array_equal(
+        pred["pred_labels"], out_ref["pred_labels"].numpy(),
+        err_msg="pred_labels")
+    np.testing.assert_allclose(
+        pred["pred_scores"], out_ref["pred_scores"].numpy(),
+        atol=1e-8, rtol=1e-8, err_msg="pred_scores")
+    np.testing.assert_array_equal(
+        pred["pair_idx"], out_ref["pair_idx"].numpy(), err_msg="pair_idx")
+    for key, width in (("attention_distribution", 3),
+                       ("spatial_distribution", 6),
+                       ("contacting_distribution", 17)):
+        ours = np.asarray(pred[key])
+        ref_arr = out_ref[key].numpy()
+        assert ref_arr.shape == (p2, width)
+        np.testing.assert_allclose(ours, ref_arr, atol=1e-8, rtol=1e-8,
+                                   err_msg=key)
