@@ -53,39 +53,76 @@ def clip_by_global_norm_torch(clip_norm: float) -> optax.GradientTransformation:
 
 
 def scale_by_reference_adam(
-    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """The reference's own AdamW update rule (tools/utils/AdamW.py:53-113):
 
+        p *= (1 - lr*wd)
         p -= lr * sqrt(1 - b2^t)/(1 - b1^t) * m / (sqrt(v) + eps)
 
     i.e. eps is added to the UNCORRECTED sqrt(v) and the bias correction is
     folded into the step size. torch-native AdamW and ``optax.adamw`` add
     eps to the corrected ``sqrt(v_hat)`` instead, which makes their
     effective early-step epsilon ``sqrt(1 - b2^t)``x smaller — a real (if
-    small) trajectory difference, gated by the torch-oracle test."""
+    small) trajectory difference, gated by the torch-oracle test.
+
+    Two more torch behaviors reproduced exactly:
+
+    * ``if p.grad is None: continue`` (AdamW.py:67-68): a parameter the loss
+      never touched gets NO decay, NO moment update, and its per-param
+      ``state['step']`` does not advance. In jax an unused parameter's
+      gradient is exactly zero, so the per-TENSOR all-zero-grad mask is the
+      faithful translation — without it the epoch-0 memory hallucinator
+      (inactive until the first epoch-end bank computation) would silently
+      decay while the reference's stays frozen. A live parameter whose true
+      gradient is exactly all-zero is measure-zero in practice.
+    * the step count is PER-PARAMETER (torch ``state['step']``), so a
+      parameter that starts training late (memory activation) still gets
+      early-step bias correction, exactly like the reference.
+
+    Weight decay is folded in here (not ``optax.add_decayed_weights``)
+    because torch's skip applies to the decay too; the additive form below
+    lands on bit-identical parameters since the adam delta never reads p.
+    """
 
     def init_fn(params):
         return optax.ScaleByAdamState(
-            count=jnp.zeros([], jnp.int32),
+            count=jax.tree.map(
+                lambda p: jnp.zeros([], jnp.int32), params),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
         )
 
     def update_fn(updates, state, params=None):
-        del params
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
-                          state.mu, updates)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                          state.nu, updates)
-        count = state.count + 1
-        # widest enabled float: the reference computes the bias corrections
-        # in python doubles (AdamW.py:109-111)
-        t = count.astype(jnp.result_type(float))
-        step = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
-        out = jax.tree.map(
-            lambda m, v: (step * m / (jnp.sqrt(v) + eps)).astype(m.dtype),
-            mu, nu)
+        if weight_decay and params is None:
+            raise ValueError("weight_decay requires params in tx.update")
+        touched = jax.tree.map(lambda g: jnp.any(g != 0), updates)
+        mu = jax.tree.map(
+            lambda t_, m, g: jnp.where(t_, b1 * m + (1 - b1) * g, m),
+            touched, state.mu, updates)
+        nu = jax.tree.map(
+            lambda t_, v, g: jnp.where(t_, b2 * v + (1 - b2) * g * g, v),
+            touched, state.nu, updates)
+        count = jax.tree.map(
+            lambda t_, c: c + t_.astype(jnp.int32), touched, state.count)
+
+        def adam_delta(t_, c, m, v, p):
+            # widest enabled float: the reference computes the bias
+            # corrections in python doubles (AdamW.py:109-111)
+            tt = jnp.maximum(c, 1).astype(jnp.result_type(float))
+            step = jnp.sqrt(1.0 - b2**tt) / (1.0 - b1**tt)
+            delta = step * m / (jnp.sqrt(v) + eps)
+            if weight_decay and p is not None:
+                delta = delta + weight_decay * p
+            return jnp.where(t_, delta, 0.0).astype(m.dtype)
+
+        if params is None:
+            out = jax.tree.map(
+                lambda t_, c, m, v: adam_delta(t_, c, m, v, None),
+                touched, count, mu, nu)
+        else:
+            out = jax.tree.map(adam_delta, touched, count, mu, nu, params)
         return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -99,13 +136,12 @@ def make_optimizer(
     weight_decay: float = 0.1,
     clip_norm: float = 5.0,
 ) -> optax.GradientTransformation:
-    # Decay order note: the reference multiplies p by (1 - lr*wd) BEFORE its
-    # adam delta; since that delta never reads p, the additive
-    # add_decayed_weights form below lands on bit-identical parameters.
     return optax.chain(
         clip_by_global_norm_torch(clip_norm),
-        scale_by_reference_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.add_decayed_weights(weight_decay),
+        # decay is folded into the adam transform so torch's None-grad skip
+        # covers it too (see scale_by_reference_adam)
+        scale_by_reference_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                weight_decay=weight_decay),
         optax.scale_by_learning_rate(
             reference_lr_schedule(base_lr, gamma, warmup_period,
                                   steps_per_epoch)
