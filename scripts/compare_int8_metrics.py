@@ -35,26 +35,29 @@ def run(flags):
     return out
 
 
+def compare(passthrough, budget=0.005):
+    """(rows, worst_with_delta, ok): the f32-vs-int8 grid and the gate."""
+    base = run(list(passthrough))
+    quant = run(list(passthrough) + ["--int8"])
+    rows = {
+        k: {"f32": base[k], "int8": quant[k],
+            "delta": round(quant[k] - base[k], 6)}
+        for k in base
+    }
+    worst = min(
+        rows[k]["delta"] for k in rows if k.startswith("with_R@")
+    )
+    return rows, worst, worst >= -budget
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--budget", type=float, default=0.005,
                    help="max allowed absolute with-constraint R@K drop")
     args, passthrough = p.parse_known_args(argv)
 
-    base = run(list(passthrough))
-    quant = run(list(passthrough) + ["--int8"])
-
-    rows = {
-        k: {"f32": base[k], "int8": quant[k],
-            "delta": round(quant[k] - base[k], 6)}
-        for k in base
-    }
+    rows, worst, ok = compare(passthrough, args.budget)
     print(json.dumps(rows, indent=2))
-
-    worst = min(
-        rows[k]["delta"] for k in rows if k.startswith("with_R@")
-    )
-    ok = worst >= -args.budget
     print(f"worst with-constraint R@K delta: {worst:+.6f} "
           f"(budget -{args.budget}) -> {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
